@@ -1,0 +1,87 @@
+"""Time-autoregressive mixture-CDF transform (language-modeling flows).
+
+Reference parity: the LM flow layers built from time-autoregressive LSTM
+coupling nets (SURVEY.md C5 + C15, paper §4.2).  All channels at timestep t
+are transformed conditioned on timesteps < t:
+
+  - density/training: ONE causal pass (LSTM scan with right-shifted input),
+    fully parallel over batch and channels — the TPU-friendly direction;
+  - sampling: inherently sequential in t; implemented as a ``lax.scan``
+    carrying the LSTM state, with the bisection inverse vectorised over
+    batch and channels inside each step (SURVEY.md §3.3 hot loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from categoricalnf_tpu.flows.base import Transform, sum_ldj
+from categoricalnf_tpu.ops import numerics as nm
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoregressiveMixtureCDF(Transform):
+    """z_t -> logit(MixLogCDF(z_t)) * e^a + t, params from causal net."""
+
+    net: Any = None  # must expose apply(shift=True), init_carry, step
+    num_mixtures: int = 8
+    scale_cap: float = 3.0
+
+    def init(self, rng, event_dim: int, cond_dim: int = 0):
+        k_net, k_mu = jax.random.split(rng)
+        K = self.num_mixtures
+        out_dim = event_dim * (2 + 3 * K)
+        net_params = self.net.init(k_net, event_dim, out_dim, cond_dim)
+        mean_offsets = jax.random.normal(k_mu, (event_dim, K)) * 0.5
+        return {"net": net_params, "mean_offsets": mean_offsets}
+
+    def _split_raw(self, params, raw, shape):
+        K = self.num_mixtures
+        raw = raw.reshape(*shape, 2 + 3 * K).astype(jnp.float32)
+        t = raw[..., 0]
+        a = self.scale_cap * jnp.tanh(raw[..., 1] / self.scale_cap)
+        pi_logits = raw[..., 2:2 + K]
+        means = raw[..., 2 + K:2 + 2 * K] + params["mean_offsets"]
+        log_scales = raw[..., 2 + 2 * K:]
+        return t, a, pi_logits, means, log_scales
+
+    def forward(self, params, z, ldj, *, cond=None, mask=None, rng=None):
+        z32 = jnp.asarray(z, jnp.float32)
+        raw = self.net.apply(params["net"], z32, cond=cond, mask=mask,
+                             shift=True)
+        t, a, pi, mu, ls = self._split_raw(params, raw, z32.shape)
+        y, elem_ldj = nm.mixture_logit_cdf_and_ldj(z32, pi, mu, ls)
+        out = y * jnp.exp(a) + t
+        return out, ldj + sum_ldj(elem_ldj + a, mask)
+
+    def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
+        B, T, D = z.shape
+        z32 = jnp.asarray(z, jnp.float32)
+        cond_seq = (None if cond is None
+                    else jnp.broadcast_to(cond, (B, T, cond.shape[-1])))
+
+        def step(carry, inputs):
+            net_carry, x_prev = carry
+            y_t, cond_t = inputs
+            net_carry, raw = self.net.step(params["net"], net_carry, x_prev,
+                                           cond_t)
+            t, a, pi, mu, ls = self._split_raw(params, raw, (B, D))
+            u = (y_t - t) * jnp.exp(-a)
+            x_t = nm.mixture_inverse_logit_cdf(u, pi, mu, ls)
+            _, elem_ldj = nm.mixture_logit_cdf_and_ldj(x_t, pi, mu, ls)
+            return (net_carry, x_t), (x_t, (elem_ldj + a).sum(axis=-1))
+
+        init = (self.net.init_carry(B), jnp.zeros((B, D), jnp.float32))
+        ys = z32.transpose(1, 0, 2)
+        conds = (cond_seq.transpose(1, 0, 2) if cond_seq is not None
+                 else jnp.zeros((T, B, 0), jnp.float32))
+        (_, _), (xs, ldjs) = jax.lax.scan(step, init, (ys, conds))
+        x = xs.transpose(1, 0, 2)
+        per_t = ldjs.transpose(1, 0)  # [B, T]
+        return x, ldj - sum_ldj(per_t, mask)

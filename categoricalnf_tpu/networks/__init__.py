@@ -1,0 +1,5 @@
+from categoricalnf_tpu.networks.lstm import CausalLSTM
+from categoricalnf_tpu.networks.mlp import MLP
+from categoricalnf_tpu.networks.transformer import SetTransformer
+
+__all__ = ["CausalLSTM", "MLP", "SetTransformer"]

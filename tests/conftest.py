@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Must run before any jax import (pytest imports conftest first).  All tests
+run on CPU with 8 virtual devices so mesh/sharding/psum paths are exercised
+without TPU hardware (SURVEY.md §4.4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
