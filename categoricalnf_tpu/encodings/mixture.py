@@ -1,0 +1,72 @@
+"""Mixture-model encoding — the paper's core contribution (§3.1).
+
+Reference parity: ``layers/categorical_encoding/mixture_model.py``
+(SURVEY.md C10).  Each category c owns a factorized logistic
+q(z|c) = Π_d Logistic(mu[c,d], sigma[c,d]); the decoder has NO parameters
+of its own — it is the Bayes posterior
+
+    p(x=c | z) = p̃(c) q(z|c) / Σ_c' p̃(c') q(z|c')
+
+with a learned categorical prior p̃.  The partition function is one
+logsumexp over a [B, T, K] log-prob tensor — a single fused VPU reduction
+on TPU.  Everything here is embedding lookups + elementwise math; under
+jit it fuses into the surrounding flow computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from categoricalnf_tpu.encodings.base import Encoding
+from categoricalnf_tpu.flows.base import sum_ldj
+from categoricalnf_tpu.ops import numerics as nm
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtureEncoding(Encoding):
+    init_scale: float = 1.0
+    init_log_sigma: float = -2.0
+
+    def init(self, rng: jax.Array):
+        k_mu, _ = jax.random.split(rng)
+        K, D = self.num_categories, self.dim
+        return {
+            "means": jax.random.normal(k_mu, (K, D)) * self.init_scale,
+            "log_scales": jnp.full((K, D), self.init_log_sigma, jnp.float32),
+            "prior_logits": jnp.zeros((K,), jnp.float32),
+        }
+
+    def encode(self, params, x, rng, *, mask=None):
+        mu = params["means"][x]            # [B, T, D]
+        ls = params["log_scales"][x]
+        z = nm.logistic_sample(rng, mu.shape, mean=mu, log_scale=ls)
+        log_q = sum_ldj(nm.logistic_log_pdf(z, mu, ls), mask)
+        return z, log_q
+
+    def _log_joint_all(self, params, z):
+        """log p̃(c) + log q(z|c) for all categories: [B, T, K]."""
+        mu = params["means"]               # [K, D]
+        ls = params["log_scales"]
+        comp = nm.logistic_log_pdf(z[..., None, :], mu, ls).sum(-1)  # [B,T,K]
+        log_prior = jax.nn.log_softmax(params["prior_logits"])
+        return comp + log_prior
+
+    def log_decoder(self, params, x, z, *, mask=None):
+        log_joint = self._log_joint_all(params, z)
+        log_norm = jax.scipy.special.logsumexp(log_joint, axis=-1)
+        log_post = jnp.take_along_axis(
+            log_joint, x[..., None], axis=-1)[..., 0] - log_norm
+        return sum_ldj(log_post, mask)
+
+    def decode(self, params, z, *, mask=None):
+        return jnp.argmax(self._log_joint_all(params, z), axis=-1)
+
+    def posterior(self, params, z):
+        """Full categorical posterior p(x|z): [B, T, K] probabilities."""
+        return jax.nn.softmax(self._log_joint_all(params, z), axis=-1)
