@@ -1,0 +1,157 @@
+"""Set shuffling / set summation tasks (paper §4.1).
+
+Reference parity: ``experiments/set_modeling/`` (SURVEY.md C23).
+
+- **Set shuffling**: uniform distribution over permutations of S distinct
+  tokens.  Analytic optimum log2(S!)/S bits/var — the framework's absolute
+  correctness beacon.
+- **Set summation**: length-S sequences over {1..K} constrained to sum to
+  L; analytic optimum log2(#{valid sequences})/S via a counting DP.
+
+Datasets are generated on the fly in numpy (the reference uses torch
+datasets + DataLoader workers; synthetic data needs no IO pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from categoricalnf_tpu import encodings, flows, networks
+from categoricalnf_tpu.models.categorical_flow import CategoricalFlow
+from categoricalnf_tpu.training.task import TaskTemplate
+
+
+def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
+                   num_heads: int = 4, num_mixtures: int = 8,
+                   compute_dtype: str = "float32") -> flows.FlowModel:
+    """Coupling stack with permutation-equivariant transformer nets."""
+    net = networks.SetTransformer(hidden_dim=hidden_dim, num_heads=num_heads,
+                                  num_layers=2, compute_dtype=compute_dtype)
+    layers = []
+    for i in range(num_layers):
+        layers.append(flows.ActNorm())
+        layers.append(flows.InvertibleLinear())
+        layers.append(flows.MixtureCDFCoupling(
+            net=net, mask_kind="channel", parity=i % 2,
+            num_mixtures=num_mixtures))
+    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+
+@dataclasses.dataclass
+class SetShufflingTask(TaskTemplate):
+    """Uniform over permutations of S tokens."""
+
+    set_size: int = 16
+    batch_size: int = 1024
+    encoding_dim: int = 4
+    encoding_name: str = "mixture"
+    num_layers: int = 8
+    hidden_dim: int = 96
+    num_mixtures: int = 8
+    eval_batches_count: int = 4
+    compute_dtype: str = "float32"
+    name: str = "set_shuffling"
+
+    def __post_init__(self):
+        enc = encodings.create_encoding(
+            self.encoding_name, num_categories=self.set_size,
+            dim=self.encoding_dim)
+        self.model = CategoricalFlow(
+            encoding=enc,
+            flow=build_set_flow(enc.dim, self.num_layers, self.hidden_dim,
+                                num_mixtures=self.num_mixtures,
+                                compute_dtype=self.compute_dtype))
+
+    def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        return np.argsort(
+            rng.random((n, self.set_size)), axis=1).astype(np.int32)
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[dict]:
+        while True:
+            yield {"x": self._gen(rng, self.batch_size)}
+
+    def eval_batches(self) -> list[dict]:
+        rng = np.random.default_rng(1234)
+        return [{"x": self._gen(rng, self.batch_size)}
+                for _ in range(self.eval_batches_count)]
+
+    def analytic_optimum_bpd(self) -> float:
+        return math.log2(math.factorial(self.set_size)) / self.set_size
+
+
+@lru_cache(maxsize=None)
+def _count_sum_sequences(length: int, num_cat: int, target: int) -> int:
+    """# of sequences in {1..K}^length with sum == target (counting DP)."""
+    dp = np.zeros(target + 1, dtype=object)
+    dp[0] = 1
+    for _ in range(length):
+        new = np.zeros(target + 1, dtype=object)
+        for s in range(target + 1):
+            if dp[s]:
+                for v in range(1, num_cat + 1):
+                    if s + v <= target:
+                        new[s + v] += dp[s]
+        dp = new
+    return int(dp[target])
+
+
+@dataclasses.dataclass
+class SetSummationTask(TaskTemplate):
+    """Uniform over {1..K}^S sequences that sum to L (default L=E[sum])."""
+
+    set_size: int = 16
+    num_categories: int = 10
+    target_sum: int = 0  # 0 -> round(S*(K+1)/2)
+    batch_size: int = 1024
+    encoding_dim: int = 4
+    encoding_name: str = "mixture"
+    num_layers: int = 8
+    hidden_dim: int = 96
+    num_mixtures: int = 8
+    eval_batches_count: int = 4
+    compute_dtype: str = "float32"
+    name: str = "set_summation"
+
+    def __post_init__(self):
+        if self.target_sum == 0:
+            self.target_sum = round(self.set_size *
+                                    (self.num_categories + 1) / 2)
+        enc = encodings.create_encoding(
+            self.encoding_name, num_categories=self.num_categories,
+            dim=self.encoding_dim if self.encoding_name != "vardeq" else 1)
+        self.model = CategoricalFlow(
+            encoding=enc,
+            flow=build_set_flow(enc.dim, self.num_layers, self.hidden_dim,
+                                num_mixtures=self.num_mixtures,
+                                compute_dtype=self.compute_dtype))
+
+    def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """Rejection-sample uniform sum-constrained sequences (vectorized)."""
+        out = np.empty((0, self.set_size), np.int32)
+        while out.shape[0] < n:
+            cand = rng.integers(1, self.num_categories + 1,
+                                (4 * n, self.set_size))
+            ok = cand.sum(axis=1) == self.target_sum
+            out = np.concatenate([out, cand[ok].astype(np.int32)])
+        # categories are 1..K -> shift to 0..K-1 for the encoding
+        return out[:n] - 1
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[dict]:
+        while True:
+            yield {"x": self._gen(rng, self.batch_size)}
+
+    def eval_batches(self) -> list[dict]:
+        rng = np.random.default_rng(1234)
+        return [{"x": self._gen(rng, self.batch_size)}
+                for _ in range(self.eval_batches_count)]
+
+    def analytic_optimum_bpd(self) -> float:
+        cnt = _count_sum_sequences(self.set_size, self.num_categories,
+                                   self.target_sum)
+        return math.log2(cnt) / self.set_size

@@ -1,0 +1,175 @@
+"""Training engine: jitted sharded train/eval steps + host loop.
+
+Reference parity: ``TrainTemplate.train_model`` in ``general/train.py``
+(SURVEY.md C18): loop, grad clip, RAdam, LR/β schedules, periodic IS eval,
+best-checkpoint tracking, metrics, resume.  TPU-native differences:
+
+  - ONE jitted ``train_step`` (loss + grad + optimizer update) with donated
+    state; params replicated, batch sharded over the mesh's ``data`` axis —
+    XLA inserts the ICI psum for the gradient reduction (no hand-written
+    comm; SURVEY.md §5 "distributed comm backend").
+  - data-dependent actnorm init runs once, un-jitted, on a replicated
+    calibration batch before step 0 (SURVEY.md §3.4 / hard part 4).
+  - evaluation is a jitted IW-bound step; chains can additionally shard
+    over the ``sample`` axis (parallel/mesh.py).
+  - checkpoint/resume via Orbax with best-metric retention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from categoricalnf_tpu.parallel import mesh as mesh_lib
+from categoricalnf_tpu.training import checkpoint as ckpt_lib
+from categoricalnf_tpu.training.metrics import MetricsLogger
+from categoricalnf_tpu.training.schedules import ScheduleSpec
+from categoricalnf_tpu.training.state import OptimizerConfig, TrainState
+from categoricalnf_tpu.training.task import TaskTemplate
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_steps: int = 10_000
+    eval_every: int = 1_000
+    eval_samples: int = 8
+    final_eval_samples: int = 32
+    seed: int = 42
+    optimizer: OptimizerConfig = OptimizerConfig()
+    beta_schedule: ScheduleSpec = ScheduleSpec(
+        kind="sigmoid", start=0.5, end=1.0, center=2000, rate=0.002)
+    out_dir: Optional[str] = None
+    log_every: int = 100
+    keep_checkpoints: int = 2
+
+
+class Trainer:
+    def __init__(self, task: TaskTemplate, config: TrainConfig,
+                 mesh=None):
+        self.task = task
+        self.config = config
+        self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
+        self.tx = config.optimizer.build()
+        self.beta_fn = config.beta_schedule.build()
+        self.logger = MetricsLogger(config.out_dir)
+        self._build_steps()
+
+    # -- jitted steps -----------------------------------------------------
+
+    def _build_steps(self):
+        task, tx, beta_fn = self.task, self.tx, self.beta_fn
+        repl = mesh_lib.replicated(self.mesh)
+        data_sh = mesh_lib.batch_sharding(self.mesh)
+
+        def train_step(state: TrainState, batch, rng):
+            beta = beta_fn(state.step)
+
+            def loss_fn(params):
+                return task.loss(params, batch, rng, beta)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state)
+            return new_state, {"loss": loss, "grad_norm": gnorm,
+                               "beta": beta}
+
+        def eval_step(params, batch, rng, num_samples):
+            return task.eval_step(params, batch, rng, num_samples)
+
+        del data_sh  # batches arrive pre-sharded via shard_batch()
+        self._replicated = repl
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step, static_argnums=(3,))
+
+    # -- loop -------------------------------------------------------------
+
+    def train(self, resume: bool = True) -> dict:
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+        np_rng = np.random.default_rng(cfg.seed)
+        data_iter = self.task.train_batches(np_rng)
+
+        start_step = 0
+        ckpt = (ckpt_lib.CheckpointManager(cfg.out_dir, cfg.keep_checkpoints)
+                if cfg.out_dir else None)
+        params = self.task.init_params(rng)
+        calib = next(data_iter)
+        params = self.task.data_init(
+            params, self._shard(calib), jax.random.fold_in(rng, 999))
+        state = TrainState.create(params, self.tx)
+
+        if resume and ckpt is not None:
+            target = {"step": np.zeros((), np.int32),
+                      "params": jax.device_get(state.params),
+                      "opt_state": jax.device_get(state.opt_state)}
+            restored = ckpt.restore_latest(target)
+            if restored is not None:
+                state = TrainState(
+                    step=jnp.asarray(restored["step"], jnp.int32),
+                    params=restored["params"],
+                    opt_state=restored["opt_state"])
+                start_step = int(restored["step"])
+                print(f"resumed from step {start_step}", flush=True)
+        # Replicate the full train state across the mesh explicitly.
+        state = jax.device_put(state, self._replicated)
+
+        best_bpd = float("inf")
+        t_last = time.time()
+        steps_since = 0
+        for step in range(start_step, cfg.num_steps):
+            batch = self._shard(next(data_iter))
+            state, metrics = self._train_step(
+                state, batch, jax.random.fold_in(rng, step))
+            steps_since += 1
+
+            if (step + 1) % cfg.log_every == 0:
+                dt = time.time() - t_last
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_s"] = steps_since / max(dt, 1e-9)
+                self.logger.log(step + 1, m, "train")
+                t_last, steps_since = time.time(), 0
+
+            if (step + 1) % cfg.eval_every == 0 or step + 1 == cfg.num_steps:
+                eval_metrics = self.evaluate(
+                    state.params, num_samples=cfg.eval_samples,
+                    rng=jax.random.fold_in(rng, 2**30 + step))
+                self.logger.log(step + 1, eval_metrics, "val")
+                if ckpt is not None and eval_metrics["bpd"] < best_bpd:
+                    ckpt.save(int(state.step), state, eval_metrics)
+                if eval_metrics["bpd"] < best_bpd:
+                    best_bpd = eval_metrics["bpd"]
+
+        final = {"best_bpd": best_bpd}
+        final.update(self.task.sample_metrics(
+            state.params, jax.random.fold_in(rng, 777)))
+        self.logger.log(cfg.num_steps, final, "final")
+        self._final_state = state
+        return final
+
+    def evaluate(self, params, num_samples: int, rng) -> dict:
+        bpds, ns = [], []
+        for i, batch in enumerate(self.task.eval_batches()):
+            b = self._shard(batch)
+            bpd = self._eval_step(params, b, jax.random.fold_in(rng, i),
+                                  num_samples)
+            bpds.append(np.asarray(bpd))
+        bpd = float(np.mean(np.concatenate(bpds)))
+        out = {"bpd": bpd}
+        opt = self.task.analytic_optimum_bpd()
+        if opt is not None:
+            out["bpd_gap_to_optimum"] = bpd - opt
+        return out
+
+    def _shard(self, batch: dict):
+        return mesh_lib.shard_batch(self.mesh, {
+            k: jnp.asarray(v) for k, v in batch.items()})

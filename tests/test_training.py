@@ -1,0 +1,68 @@
+"""Training engine integration tests (SURVEY.md §4.5): a short set-shuffling
+run must make real progress toward the analytic optimum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from categoricalnf_tpu.tasks import SetShufflingTask
+from categoricalnf_tpu.training import (OptimizerConfig, ScheduleSpec,
+                                        TrainConfig, Trainer)
+
+
+def _tiny_task(**kw):
+    defaults = dict(set_size=8, batch_size=256, encoding_dim=2,
+                    num_layers=3, hidden_dim=48, num_mixtures=4,
+                    eval_batches_count=1)
+    defaults.update(kw)
+    return SetShufflingTask(**defaults)
+
+
+def test_set_shuffling_short_training_progress(tmp_path):
+    task = _tiny_task()
+    cfg = TrainConfig(
+        num_steps=120, eval_every=120, eval_samples=4, log_every=60,
+        out_dir=str(tmp_path / "run"),
+        optimizer=OptimizerConfig(learning_rate=2e-3),
+        beta_schedule=ScheduleSpec(kind="constant", value=1.0))
+    trainer = Trainer(task, cfg)
+
+    # initial loss for comparison
+    rng = jax.random.PRNGKey(0)
+    np_rng = np.random.default_rng(0)
+    batch0 = {"x": jnp.asarray(next(task.train_batches(np_rng))["x"])}
+    params0 = task.init_params(rng)
+    loss0 = float(task.loss(params0, batch0, rng, 1.0))
+
+    final = trainer.train(resume=False)
+    opt = task.analytic_optimum_bpd()
+    assert np.isfinite(final["best_bpd"])
+    # must beat the untrained model clearly and be above the optimum
+    assert final["best_bpd"] < loss0 - 0.2, (final, loss0)
+    assert final["best_bpd"] > opt - 0.05
+
+
+def test_checkpoint_resume(tmp_path):
+    task = _tiny_task()
+    out = str(tmp_path / "run")
+    cfg = TrainConfig(num_steps=10, eval_every=5, eval_samples=1,
+                      log_every=100, out_dir=out)
+    t1 = Trainer(task, cfg)
+    t1.train(resume=False)
+
+    cfg2 = TrainConfig(num_steps=12, eval_every=100, eval_samples=1,
+                       log_every=100, out_dir=out)
+    t2 = Trainer(task, cfg2)
+    t2.train(resume=True)  # must pick up from the saved step without error
+    assert int(t2._final_state.step) == 12
+
+
+def test_beta_schedule_values():
+    s = ScheduleSpec(kind="sigmoid", start=0.0, end=1.0, center=100,
+                     rate=0.1).build()
+    assert float(s(0)) < 0.01
+    assert abs(float(s(100)) - 0.5) < 1e-5
+    assert float(s(1000)) > 0.99
+    e = ScheduleSpec(kind="exponential", value=1e-3, decay_rate=0.5,
+                     decay_steps=100).build()
+    assert abs(float(e(100)) - 5e-4) < 1e-9
