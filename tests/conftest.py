@@ -17,6 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The session environment pins JAX_PLATFORMS=axon (TPU); tests must run on
+# the virtual 8-device CPU platform, and config.update wins over the env.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: repeated test runs skip recompilation.
 jax.config.update("jax_compilation_cache_dir", "/tmp/cnf_jax_cache")
