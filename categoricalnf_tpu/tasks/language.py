@@ -1,0 +1,202 @@
+"""Character-level language modeling tasks: PTB, text8 (paper §4.2).
+
+Reference parity: ``experiments/language_modeling/`` (SURVEY.md C24) —
+corpus chunking, char vocab, LM task with importance-sampled bits/char.
+
+Data: the reference downloads PTB/text8; this environment has zero egress,
+so the loaders read the standard files from ``data_dir`` when present
+(``ptb.char.{train,valid,test}.txt`` or the 100MB ``text8`` blob) and fall
+back to a synthetic first-order Markov character source whose exact
+entropy rate is computable — giving an analytic bits/char optimum to
+validate training against (same role the set-shuffling optimum plays,
+SURVEY.md §4.3).
+
+Model: time-autoregressive mixture-CDF flow — all channels at step t
+transform conditioned on steps < t via a causal LSTM (paper's
+"autoregressive coupling prior").  Training/likelihood is one parallel
+causal pass; sampling rolls the LSTM sequentially (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from categoricalnf_tpu import encodings, flows, networks
+from categoricalnf_tpu.models.categorical_flow import CategoricalFlow
+from categoricalnf_tpu.training.task import TaskTemplate
+
+PTB_FILES = {"train": "ptb.char.train.txt", "valid": "ptb.char.valid.txt",
+             "test": "ptb.char.test.txt"}
+
+
+# ---------------------------------------------------------------------------
+# Corpora
+# ---------------------------------------------------------------------------
+
+
+class CharCorpus:
+    """Token streams + vocab for train/valid/test splits."""
+
+    def __init__(self, splits: dict[str, np.ndarray], vocab: list[str],
+                 name: str, analytic_bpc: Optional[float] = None):
+        self.splits = splits
+        self.vocab = vocab
+        self.name = name
+        self.analytic_bpc = analytic_bpc
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+
+def load_ptb_char(data_dir: str) -> CharCorpus:
+    """Mikolov character-level PTB: '_' encodes spaces."""
+    texts = {}
+    for split, fname in PTB_FILES.items():
+        with open(os.path.join(data_dir, fname)) as f:
+            texts[split] = f.read().replace("\n", "")
+    chars = sorted(set(texts["train"]))
+    idx = {c: i for i, c in enumerate(chars)}
+    splits = {k: np.asarray([idx[c] for c in v if c in idx], np.int32)
+              for k, v in texts.items()}
+    return CharCorpus(splits, chars, "ptb_char")
+
+
+def load_text8(data_dir: str) -> CharCorpus:
+    """text8: 100M chars of a-z+space; 90/5/5M split (standard)."""
+    with open(os.path.join(data_dir, "text8")) as f:
+        text = f.read()
+    chars = sorted(set(text))  # 27 symbols
+    idx = {c: i for i, c in enumerate(chars)}
+    arr = np.asarray([idx[c] for c in text], np.int32)
+    n = len(arr)
+    a, b = int(n * 0.9), int(n * 0.95)
+    return CharCorpus({"train": arr[:a], "valid": arr[a:b],
+                       "test": arr[b:]}, chars, "text8")
+
+
+def synthetic_markov_corpus(vocab_size: int = 27, length: int = 2_000_000,
+                            seed: int = 0,
+                            concentration: float = 0.3) -> CharCorpus:
+    """First-order Markov chain with Dirichlet rows; exact entropy rate.
+
+    The analytic bits/char (stationary entropy rate) is the optimum any
+    model can reach — used as the LM correctness beacon when the real
+    corpora are absent.
+    """
+    rng = np.random.default_rng(seed)
+    P = rng.dirichlet([concentration] * vocab_size, size=vocab_size)
+    # stationary distribution: left eigenvector of P
+    evals, evecs = np.linalg.eig(P.T)
+    i = int(np.argmin(np.abs(evals - 1.0)))
+    pi = np.real(evecs[:, i])
+    pi = np.abs(pi) / np.abs(pi).sum()
+    ent = -(pi[:, None] * P * np.log2(np.maximum(P, 1e-30))).sum()
+
+    # sample one long chain, then split
+    out = np.empty(length, np.int32)
+    state = rng.choice(vocab_size, p=pi)
+    # vectorised-ish rollout in blocks via inverse-CDF on uniforms
+    cdf = np.cumsum(P, axis=1)
+    u = rng.random(length)
+    for t in range(length):
+        state = int(np.searchsorted(cdf[state], u[t]))
+        out[t] = state
+    n = length
+    a, b = int(n * 0.9), int(n * 0.95)
+    vocab = [chr(ord("a") + i) if i < 26 else "_" for i in range(vocab_size)]
+    return CharCorpus({"train": out[:a], "valid": out[a:b], "test": out[b:]},
+                      vocab, "synthetic_markov", analytic_bpc=float(ent))
+
+
+def load_corpus(name: str, data_dir: Optional[str] = None) -> CharCorpus:
+    data_dir = data_dir or os.environ.get("CNF_DATA_DIR", "data")
+    if name == "ptb":
+        path = os.path.join(data_dir, PTB_FILES["train"])
+        if os.path.exists(path):
+            return load_ptb_char(data_dir)
+        return synthetic_markov_corpus(vocab_size=50, seed=1)
+    if name == "text8":
+        if os.path.exists(os.path.join(data_dir, "text8")):
+            return load_text8(data_dir)
+        return synthetic_markov_corpus(vocab_size=27, seed=2)
+    if name == "synthetic":
+        return synthetic_markov_corpus()
+    raise ValueError(f"unknown corpus {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Flow assembly + task
+# ---------------------------------------------------------------------------
+
+
+def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
+                  lstm_layers: int = 2, num_mixtures: int = 16,
+                  compute_dtype: str = "bfloat16") -> flows.FlowModel:
+    layers = []
+    for _ in range(num_layers):
+        layers.append(flows.ActNorm())
+        layers.append(flows.InvertibleLinear())
+        layers.append(flows.AutoregressiveMixtureCDF(
+            net=networks.CausalLSTM(hidden_dim=hidden_dim,
+                                    num_layers=lstm_layers,
+                                    compute_dtype=compute_dtype),
+            num_mixtures=num_mixtures))
+    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+
+@dataclasses.dataclass
+class LanguageModelingTask(TaskTemplate):
+    corpus_name: str = "ptb"
+    data_dir: Optional[str] = None
+    seq_len: int = 256
+    batch_size: int = 128
+    encoding_dim: int = 3
+    encoding_name: str = "mixture"
+    num_layers: int = 2
+    hidden_dim: int = 512
+    lstm_layers: int = 2
+    num_mixtures: int = 16
+    eval_batches_count: int = 8
+    compute_dtype: str = "bfloat16"
+    name: str = "language_modeling"
+
+    def __post_init__(self):
+        self.corpus = load_corpus(self.corpus_name, self.data_dir)
+        self.name = f"lm_{self.corpus.name}"
+        enc = encodings.create_encoding(
+            self.encoding_name, num_categories=self.corpus.vocab_size,
+            dim=self.encoding_dim)
+        self.model = CategoricalFlow(
+            encoding=enc,
+            flow=build_lm_flow(enc.dim, self.num_layers, self.hidden_dim,
+                               self.lstm_layers, self.num_mixtures,
+                               self.compute_dtype))
+
+    def _chunks(self, split: str, rng: np.random.Generator,
+                n: int) -> np.ndarray:
+        stream = self.corpus.splits[split]
+        starts = rng.integers(0, len(stream) - self.seq_len - 1, n)
+        return np.stack([stream[s:s + self.seq_len] for s in starts])
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[dict]:
+        while True:
+            yield {"x": self._chunks("train", rng, self.batch_size)}
+
+    def eval_batches(self) -> list[dict]:
+        rng = np.random.default_rng(99)
+        return [{"x": self._chunks("valid", rng, self.batch_size)}
+                for _ in range(self.eval_batches_count)]
+
+    def analytic_optimum_bpd(self) -> Optional[float]:
+        return self.corpus.analytic_bpc
+
+    def sample_text(self, params, rng: jax.Array, num: int = 4) -> list[str]:
+        x = self.model.sample(params, rng, batch=num, num_pos=self.seq_len)
+        x = np.asarray(x)
+        return ["".join(self.corpus.vocab[i] for i in row) for row in x]
