@@ -1,0 +1,124 @@
+"""Graph 3-coloring task (paper §4.3).
+
+Reference parity: ``experiments/graph_coloring/`` (SURVEY.md C25): a
+generator of random graphs with valid 3-colorings, a conditional CNF
+p(colors | graph) whose coupling nets are RGCNs over the adjacency, and a
+validity-rate eval on model samples.
+
+Graphs are variable-size: padded to ``max_nodes`` with node masks; the
+adjacency rides through the model as ``cond={"adj": [B,N,N]}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from categoricalnf_tpu import encodings, flows
+from categoricalnf_tpu.models.categorical_flow import CategoricalFlow
+from categoricalnf_tpu.networks.graph import RGCN
+from categoricalnf_tpu.training.task import TaskTemplate
+
+
+def random_colorable_graph(rng: np.random.Generator, num_nodes: int,
+                           num_colors: int = 3, edge_prob: float = 0.25):
+    """Random graph guaranteed k-colorable by construction.
+
+    Assign hidden colors first, then add edges only between distinct-color
+    nodes — the classic planted-coloring generator; the planted coloring is
+    a valid sample, and a random color permutation de-biases the labels.
+    """
+    colors = rng.integers(0, num_colors, num_nodes)
+    adj = np.zeros((num_nodes, num_nodes), np.float32)
+    for i in range(num_nodes):
+        for j in range(i + 1, num_nodes):
+            if colors[i] != colors[j] and rng.random() < edge_prob:
+                adj[i, j] = adj[j, i] = 1.0
+    perm = rng.permutation(num_colors)
+    return adj, perm[colors].astype(np.int32)
+
+
+def coloring_validity(adj: np.ndarray, colors: np.ndarray,
+                      mask: np.ndarray) -> np.ndarray:
+    """Per-graph bool: no edge joins equal colors (padded nodes ignored)."""
+    same = (colors[:, :, None] == colors[:, None, :]).astype(np.float32)
+    m2 = mask[:, :, None] * mask[:, None, :]
+    viol = (adj * same * m2).sum(axis=(1, 2))
+    return viol == 0
+
+
+def build_coloring_flow(dim: int, num_layers: int = 6, hidden_dim: int = 96,
+                        num_mixtures: int = 8,
+                        compute_dtype: str = "float32") -> flows.FlowModel:
+    layers = []
+    for i in range(num_layers):
+        net = RGCN(hidden_dim=hidden_dim, num_layers=2,
+                   compute_dtype=compute_dtype)
+        layers.append(flows.ActNorm())
+        layers.append(flows.InvertibleLinear())
+        layers.append(flows.MixtureCDFCoupling(
+            net=net, mask_kind="channel", parity=i % 2,
+            num_mixtures=num_mixtures))
+    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+
+@dataclasses.dataclass
+class GraphColoringTask(TaskTemplate):
+    min_nodes: int = 10
+    max_nodes: int = 20
+    num_colors: int = 3
+    edge_prob: float = 0.25
+    batch_size: int = 256
+    encoding_dim: int = 2
+    num_layers: int = 6
+    hidden_dim: int = 96
+    num_mixtures: int = 8
+    eval_batches_count: int = 2
+    compute_dtype: str = "float32"
+    name: str = "graph_coloring"
+
+    def __post_init__(self):
+        enc = encodings.MixtureEncoding(num_categories=self.num_colors,
+                                        dim=self.encoding_dim)
+        self.model = CategoricalFlow(
+            encoding=enc,
+            flow=build_coloring_flow(enc.dim, self.num_layers,
+                                     self.hidden_dim, self.num_mixtures,
+                                     self.compute_dtype))
+
+    def _gen(self, rng: np.random.Generator, n: int) -> dict:
+        N = self.max_nodes
+        adj = np.zeros((n, N, N), np.float32)
+        x = np.zeros((n, N), np.int32)
+        mask = np.zeros((n, N), np.float32)
+        for b in range(n):
+            k = int(rng.integers(self.min_nodes, self.max_nodes + 1))
+            a, c = random_colorable_graph(rng, k, self.num_colors,
+                                          self.edge_prob)
+            adj[b, :k, :k] = a
+            x[b, :k] = c
+            mask[b, :k] = 1.0
+        return {"x": x, "mask": mask, "cond": {"adj": adj}}
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[dict]:
+        while True:
+            yield self._gen(rng, self.batch_size)
+
+    def eval_batches(self) -> list[dict]:
+        rng = np.random.default_rng(7)
+        return [self._gen(rng, self.batch_size)
+                for _ in range(self.eval_batches_count)]
+
+    def sample_metrics(self, params, rng: jax.Array) -> dict:
+        """Validity rate of sampled colorings on fresh graphs."""
+        batch = self._gen(np.random.default_rng(123), self.batch_size)
+        x = self.model.sample(params, rng, batch=self.batch_size,
+                              num_pos=self.max_nodes,
+                              cond={"adj": np.asarray(batch["cond"]["adj"])},
+                              mask=np.asarray(batch["mask"]))
+        valid = coloring_validity(batch["cond"]["adj"], np.asarray(x),
+                                  batch["mask"])
+        return {"coloring_validity": float(valid.mean())}
