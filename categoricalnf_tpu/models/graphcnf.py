@@ -1,0 +1,277 @@
+"""GraphCNF: three-step flow for molecule generation (paper §4.3).
+
+Reference parity: the GraphCNF assembly in
+``experiments/molecule_generation/`` (SURVEY.md C17).  Three latent
+streams with a generation-consistent conditioning order:
+
+  1. **node types**   z_v  [B, N, Dv]  — couplings with permutation-
+     equivariant attention over nodes (no structure exists yet when
+     sampling nodes first);
+  2. **edge existence** z_e1 [B, E, D1] (E = N(N-1)/2 upper-tri pairs,
+     categories {virtual, real}) — EdgeGNN couplings conditioned on the
+     data-side node latents z_v;
+  3. **bond types**   z_e2 [B, E, D2] (single/double/triple; positions of
+     virtual edges are masked) — EdgeGNN couplings conditioned on z_v and
+     on the existence latents z_e1 as extra edge features.
+
+All conditioning uses *data-side* latents, which are available identically
+in the density direction (forward) and the sampling direction (inverse) —
+that is what makes the three-step factorisation invertible.  Variable
+graph size is handled with node masks everywhere plus a categorical prior
+over node count (owned by the task; SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from categoricalnf_tpu import flows
+from categoricalnf_tpu.encodings.mixture import MixtureEncoding
+from categoricalnf_tpu.models.categorical_flow import LN2
+from categoricalnf_tpu.networks.graph import EdgeGNN, pair_indices
+from categoricalnf_tpu.networks.transformer import SetTransformer
+
+Array = jax.Array
+
+
+def build_node_flow(dim: int, num_layers: int, hidden_dim: int,
+                    num_mixtures: int, compute_dtype: str):
+    net = SetTransformer(hidden_dim=hidden_dim, num_heads=4, num_layers=2,
+                         compute_dtype=compute_dtype)
+    layers = []
+    for i in range(num_layers):
+        layers.append(flows.ActNorm())
+        layers.append(flows.InvertibleLinear())
+        layers.append(flows.MixtureCDFCoupling(
+            net=net, mask_kind="channel", parity=i % 2,
+            num_mixtures=num_mixtures))
+    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+
+def build_edge_flow(dim: int, max_nodes: int, cond_node_dim: int,
+                    edge_feat_dim: int, num_layers: int, hidden_dim: int,
+                    num_mixtures: int, compute_dtype: str):
+    layers = []
+    for i in range(num_layers):
+        net = EdgeGNN(num_nodes=max_nodes, hidden_dim=hidden_dim,
+                      num_layers=2, edge_feat_dim=edge_feat_dim,
+                      compute_dtype=compute_dtype)
+        layers.append(flows.ActNorm())
+        layers.append(flows.InvertibleLinear())
+        layers.append(flows.MixtureCDFCoupling(
+            net=net, mask_kind="channel", parity=i % 2,
+            num_mixtures=num_mixtures))
+    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphCNF:
+    num_atom_types: int = 9
+    num_bond_types: int = 3      # single/double/triple (virtual separate)
+    max_nodes: int = 38
+    node_dim: int = 6
+    exist_dim: int = 2
+    bond_dim: int = 3
+    num_layers_node: int = 4
+    num_layers_edge: int = 4
+    hidden_dim: int = 96
+    num_mixtures: int = 8
+    compute_dtype: str = "float32"
+
+    @property
+    def num_edges(self) -> int:
+        return self.max_nodes * (self.max_nodes - 1) // 2
+
+    # static sub-modules -------------------------------------------------
+
+    @property
+    def enc_node(self):
+        return MixtureEncoding(num_categories=self.num_atom_types,
+                               dim=self.node_dim)
+
+    @property
+    def enc_exist(self):
+        return MixtureEncoding(num_categories=2, dim=self.exist_dim)
+
+    @property
+    def enc_bond(self):
+        return MixtureEncoding(num_categories=self.num_bond_types,
+                               dim=self.bond_dim)
+
+    @property
+    def flow_node(self):
+        return build_node_flow(self.node_dim, self.num_layers_node,
+                               self.hidden_dim, self.num_mixtures,
+                               self.compute_dtype)
+
+    @property
+    def flow_exist(self):
+        return build_edge_flow(self.exist_dim, self.max_nodes, self.node_dim,
+                               0, self.num_layers_edge, self.hidden_dim,
+                               self.num_mixtures, self.compute_dtype)
+
+    @property
+    def flow_bond(self):
+        return build_edge_flow(self.bond_dim, self.max_nodes, self.node_dim,
+                               self.exist_dim, self.num_layers_edge,
+                               self.hidden_dim, self.num_mixtures,
+                               self.compute_dtype)
+
+    def init(self, rng: jax.Array):
+        ks = jax.random.split(rng, 6)
+        return {
+            "enc_node": self.enc_node.init(ks[0]),
+            "enc_exist": self.enc_exist.init(ks[1]),
+            "enc_bond": self.enc_bond.init(ks[2]),
+            "flow_node": self.flow_node.init(ks[3], self.node_dim, 0),
+            "flow_exist": self.flow_exist.init(ks[4], self.exist_dim,
+                                               self.node_dim),
+            "flow_bond": self.flow_bond.init(ks[5], self.bond_dim,
+                                             self.node_dim),
+        }
+
+    # masks ---------------------------------------------------------------
+
+    def edge_mask(self, node_mask: Array) -> Array:
+        ii, jj = pair_indices(self.max_nodes)
+        return node_mask[:, ii] * node_mask[:, jj]
+
+    # objective -----------------------------------------------------------
+
+    def elbo(self, params, atoms: Array, edges: Array, node_mask: Array,
+             rng: jax.Array) -> dict:
+        """atoms [B,N] in {0..A-1}; edges [B,E] in {0=virtual,1..R=bond}."""
+        k1, k2, k3 = jax.random.split(rng, 3)
+        e_mask = self.edge_mask(node_mask)
+        exist = (edges > 0).astype(jnp.int32)
+        bond = jnp.maximum(edges - 1, 0)
+        bond_mask = e_mask * exist.astype(jnp.float32)
+
+        # encode
+        z_v, lq_v = self.enc_node.encode(params["enc_node"], atoms, k1,
+                                         mask=node_mask)
+        z_e1, lq_e1 = self.enc_exist.encode(params["enc_exist"], exist, k2,
+                                            mask=e_mask)
+        z_e2, lq_e2 = self.enc_bond.encode(params["enc_bond"], bond, k3,
+                                           mask=bond_mask)
+
+        # flow log-probs (three stages, generation-consistent conds)
+        lp_v = self.flow_node.log_prob(params["flow_node"], z_v,
+                                       mask=node_mask)
+        cond_e1 = {"node_feat": z_v, "node_mask": node_mask}
+        lp_e1 = self.flow_exist.log_prob(params["flow_exist"], z_e1,
+                                         cond=cond_e1, mask=e_mask)
+        cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
+                   "edge_feat": z_e1}
+        lp_e2 = self.flow_bond.log_prob(params["flow_bond"], z_e2,
+                                        cond=cond_e2, mask=bond_mask)
+
+        # decoders (Bayes posteriors)
+        ld_v = self.enc_node.log_decoder(params["enc_node"], atoms, z_v,
+                                         mask=node_mask)
+        ld_e1 = self.enc_exist.log_decoder(params["enc_exist"], exist, z_e1,
+                                           mask=e_mask)
+        ld_e2 = self.enc_bond.log_decoder(params["enc_bond"], bond, z_e2,
+                                          mask=bond_mask)
+
+        elbo = (lp_v + lp_e1 + lp_e2 + ld_v + ld_e1 + ld_e2
+                - lq_v - lq_e1 - lq_e2)
+        return {"elbo": elbo,
+                "log_p": lp_v + lp_e1 + lp_e2,
+                "log_dec": ld_v + ld_e1 + ld_e2,
+                "log_q": lq_v + lq_e1 + lq_e2}
+
+    def loss_bpd(self, params, atoms, edges, node_mask, rng,
+                 beta: float | Array = 1.0) -> Array:
+        parts = self.elbo(params, atoms, edges, node_mask, rng)
+        obj = parts["log_p"] + parts["log_dec"] - beta * parts["log_q"]
+        n_vars = (node_mask.sum(-1)
+                  + self.edge_mask(node_mask).sum(-1))
+        return jnp.mean(-obj / (n_vars * LN2))
+
+    def iw_log_prob(self, params, atoms, edges, node_mask, rng,
+                    num_samples: int) -> Array:
+        keys = jax.random.split(rng, num_samples)
+        elbos = jax.vmap(
+            lambda k: self.elbo(params, atoms, edges, node_mask, k)["elbo"]
+        )(keys)
+        return (jax.scipy.special.logsumexp(elbos, axis=0)
+                - jnp.log(float(num_samples)))
+
+    def eval_bpd(self, params, atoms, edges, node_mask, rng,
+                 num_samples: int = 1) -> Array:
+        ll = self.iw_log_prob(params, atoms, edges, node_mask, rng,
+                              num_samples)
+        n_vars = node_mask.sum(-1) + self.edge_mask(node_mask).sum(-1)
+        return -ll / (n_vars * LN2)
+
+    # sampling ------------------------------------------------------------
+
+    def sample(self, params, rng: jax.Array, node_mask: Array
+               ) -> tuple[Array, Array]:
+        """Ancestral sampling given a node mask (node count drawn by task).
+
+        Returns (atoms [B,N], edges [B,E] with 0=virtual/1..R=bond type).
+        """
+        B = node_mask.shape[0]
+        k1, k2, k3 = jax.random.split(rng, 3)
+        e_mask = self.edge_mask(node_mask)
+
+        # stage 1: nodes
+        zp_v = self.flow_node.prior.sample(k1, (B, self.max_nodes,
+                                                self.node_dim))
+        z_v, _ = self.flow_node.inverse(params["flow_node"], zp_v,
+                                        mask=node_mask)
+        atoms = self.enc_node.decode(params["enc_node"], z_v)
+
+        # stage 2: edge existence | node latents
+        zp_e1 = self.flow_exist.prior.sample(k2, (B, self.num_edges,
+                                                  self.exist_dim))
+        cond_e1 = {"node_feat": z_v, "node_mask": node_mask}
+        z_e1, _ = self.flow_exist.inverse(params["flow_exist"], zp_e1,
+                                          cond=cond_e1, mask=e_mask)
+        exist = self.enc_exist.decode(params["enc_exist"], z_e1)
+
+        # stage 3: bond types | node + existence latents
+        zp_e2 = self.flow_bond.prior.sample(k3, (B, self.num_edges,
+                                                 self.bond_dim))
+        cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
+                   "edge_feat": z_e1}
+        z_e2, _ = self.flow_bond.inverse(params["flow_bond"], zp_e2,
+                                         cond=cond_e2, mask=e_mask)
+        bond = self.enc_bond.decode(params["enc_bond"], z_e2)
+
+        edges = exist * (1 + bond)
+        edges = (edges * e_mask).astype(jnp.int32)
+        atoms = (atoms * node_mask).astype(jnp.int32)
+        return atoms, edges
+
+    # data-dependent init -------------------------------------------------
+
+    def data_init(self, params, atoms, edges, node_mask, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        e_mask = self.edge_mask(node_mask)
+        exist = (edges > 0).astype(jnp.int32)
+        bond = jnp.maximum(edges - 1, 0)
+        bond_mask = e_mask * exist.astype(jnp.float32)
+        z_v, _ = self.enc_node.encode(params["enc_node"], atoms, k1,
+                                      mask=node_mask)
+        z_e1, _ = self.enc_exist.encode(params["enc_exist"], exist, k2,
+                                        mask=e_mask)
+        z_e2, _ = self.enc_bond.encode(params["enc_bond"], bond, k3,
+                                       mask=bond_mask)
+        params = dict(params)
+        params["flow_node"] = self.flow_node.data_init(
+            params["flow_node"], z_v, mask=node_mask)
+        params["flow_exist"] = self.flow_exist.data_init(
+            params["flow_exist"], z_e1,
+            cond={"node_feat": z_v, "node_mask": node_mask}, mask=e_mask)
+        params["flow_bond"] = self.flow_bond.data_init(
+            params["flow_bond"], z_e2,
+            cond={"node_feat": z_v, "node_mask": node_mask,
+                  "edge_feat": z_e1}, mask=bond_mask)
+        return params

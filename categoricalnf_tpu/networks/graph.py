@@ -114,6 +114,7 @@ class EdgeGNN:
     num_nodes: int = 0  # static N (padded)
     hidden_dim: int = 96
     num_layers: int = 3
+    edge_feat_dim: int = 0  # extra edge features from cond["edge_feat"]
     compute_dtype: str = "float32"
 
     @property
@@ -123,7 +124,8 @@ class EdgeGNN:
     def init(self, rng, in_dim: int, out_dim: int, cond_dim: int = 0):
         h = self.hidden_dim
         ks = jax.random.split(rng, 3 + self.num_layers)
-        params = {"embed_e": dense_init(ks[0], in_dim, h),
+        params = {"embed_e": dense_init(ks[0], in_dim + self.edge_feat_dim,
+                                        h),
                   "embed_v": dense_init(ks[1], cond_dim if cond_dim else 1, h),
                   "out": dense_init(ks[2], h, out_dim, zero=True),
                   "blocks": []}
@@ -145,8 +147,11 @@ class EdgeGNN:
         node_feat = jnp.asarray(cond["node_feat"], jnp.float32)
         node_mask = cond.get("node_mask") if cond else None
 
-        he = dense(params["embed_e"], jnp.asarray(x, jnp.float32),
-                   self._dtype)                       # [B, E, H]
+        x = jnp.asarray(x, jnp.float32)
+        if self.edge_feat_dim:
+            x = jnp.concatenate(
+                [x, jnp.asarray(cond["edge_feat"], jnp.float32)], axis=-1)
+        he = dense(params["embed_e"], x, self._dtype)  # [B, E, H]
         hv = dense(params["embed_v"], node_feat, self._dtype)  # [B, N, H]
 
         vmask = (jnp.asarray(node_mask, jnp.float32) if node_mask is not None

@@ -1,0 +1,216 @@
+"""Pure-python chemistry: valency rules, validity, correction, graph hashes.
+
+Reference parity: the RDKit-based validity / uniqueness / novelty eval and
+valency-correction post-processing in ``experiments/molecule_generation/``
+(SURVEY.md C26).  RDKit is not available in this image (SURVEY.md §7 hard
+part 6), so the same chemistry rules are enforced directly: per-element
+maximum valence, bond-order accounting, connectivity, and a
+Weisfeiler-Lehman graph hash for uniqueness/novelty.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+
+# Heavy atoms used by Zinc250k, in a fixed order.
+ATOM_TYPES = ["C", "N", "O", "F", "P", "S", "Cl", "Br", "I"]
+MAX_VALENCE = {"C": 4, "N": 3, "O": 2, "F": 1, "P": 5, "S": 6,
+               "Cl": 1, "Br": 1, "I": 1}
+MAX_VALENCE_ARR = np.asarray([MAX_VALENCE[a] for a in ATOM_TYPES])
+
+
+def edges_to_dense(edges: np.ndarray, n: int) -> np.ndarray:
+    """[E] upper-tri bond orders -> dense symmetric [n, n] matrix."""
+    iu = np.triu_indices(n, k=1)
+    out = np.zeros((n, n), edges.dtype)
+    out[iu] = edges
+    return out + out.T
+
+
+def dense_to_edges(adj: np.ndarray) -> np.ndarray:
+    iu = np.triu_indices(adj.shape[0], k=1)
+    return adj[iu]
+
+
+def molecule_validity(atoms: np.ndarray, edges: np.ndarray,
+                      node_mask: np.ndarray,
+                      check_connected: bool = True) -> np.ndarray:
+    """Per-molecule validity for a batch.
+
+    atoms [B,N] atom-type ids; edges [B,E] bond orders (0=no bond);
+    node_mask [B,N].  Valid iff every atom's total bond order is within
+    its max valence, every atom has >= 1 bond (no fragments), and the
+    heavy-atom graph is connected.
+    """
+    B, N = atoms.shape
+    out = np.zeros(B, bool)
+    for b in range(B):
+        k = int(node_mask[b].sum())
+        if k == 0:
+            continue
+        adj = edges_to_dense(edges[b], N)[:k, :k]
+        a = atoms[b, :k]
+        val = adj.sum(axis=1)
+        if np.any(val > MAX_VALENCE_ARR[a]):
+            continue
+        if k > 1 and np.any(val == 0):
+            continue
+        if check_connected and k > 1 and not _connected(adj):
+            continue
+        out[b] = True
+    return out
+
+
+def _connected(adj: np.ndarray) -> bool:
+    n = adj.shape[0]
+    seen = np.zeros(n, bool)
+    stack = [0]
+    seen[0] = True
+    while stack:
+        i = stack.pop()
+        for j in np.nonzero(adj[i] > 0)[0]:
+            if not seen[j]:
+                seen[j] = True
+                stack.append(int(j))
+    return bool(seen.all())
+
+
+def valency_correction(atoms: np.ndarray, edges: np.ndarray,
+                       node_mask: np.ndarray) -> np.ndarray:
+    """Reference-style post-processing: fix valence violations, then keep
+    the largest connected component.  Returns corrected edges [B, E]."""
+    B, N = atoms.shape
+    out = edges.copy()
+    for b in range(B):
+        k = int(node_mask[b].sum())
+        if k == 0:
+            continue
+        adj = edges_to_dense(out[b], N).astype(np.int64)
+        a = atoms[b, :k]
+        maxv = MAX_VALENCE_ARR[a]
+        # 1) downgrade bonds on violating atoms (highest order first)
+        for i in range(k):
+            while adj[i, :k].sum() > maxv[i]:
+                j = int(np.argmax(adj[i, :k]))
+                adj[i, j] -= 1
+                adj[j, i] -= 1
+        # 2) keep largest connected component
+        comp = _components(adj[:k, :k])
+        if comp.max(initial=0) > 0:
+            sizes = np.bincount(comp)
+            keep = comp == np.argmax(sizes)
+            drop = ~keep
+            adj[np.ix_(np.arange(k)[drop], np.arange(k))] = 0
+            adj[np.ix_(np.arange(k), np.arange(k)[drop])] = 0
+        out[b] = dense_to_edges(adj.astype(edges.dtype))
+    return out
+
+
+def _components(adj: np.ndarray) -> np.ndarray:
+    n = adj.shape[0]
+    comp = -np.ones(n, np.int64)
+    c = 0
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        comp[s] = c
+        stack = [s]
+        while stack:
+            i = stack.pop()
+            for j in np.nonzero(adj[i] > 0)[0]:
+                if comp[j] < 0:
+                    comp[j] = c
+                    stack.append(int(j))
+        c += 1
+    return comp
+
+
+def wl_hash(atoms: np.ndarray, edges: np.ndarray, node_mask: np.ndarray,
+            iters: int = 3) -> str:
+    """Weisfeiler-Lehman hash of one molecule — canonical up to WL
+    indistinguishability; used for uniqueness/novelty counting."""
+    k = int(node_mask.sum())
+    if k == 0:
+        return "empty"
+    N = atoms.shape[0]
+    adj = edges_to_dense(edges, N)[:k, :k]
+    labels = [f"a{t}" for t in atoms[:k]]
+    for _ in range(iters):
+        new = []
+        for i in range(k):
+            neigh = sorted(f"{adj[i, j]}:{labels[j]}"
+                           for j in np.nonzero(adj[i] > 0)[0])
+            new.append(hashlib.sha1(
+                (labels[i] + "|" + ",".join(neigh)).encode()).hexdigest()[:12])
+        labels = new
+    canon = ",".join(sorted(labels))
+    return hashlib.sha1(canon.encode()).hexdigest()
+
+
+def sample_quality(atoms: np.ndarray, edges: np.ndarray,
+                   node_mask: np.ndarray,
+                   train_hashes: Optional[set] = None,
+                   correct: bool = False) -> dict:
+    """validity / uniqueness / novelty for a batch of sampled molecules."""
+    if correct:
+        edges = valency_correction(atoms, edges, node_mask)
+    valid = molecule_validity(atoms, edges, node_mask)
+    hashes = [wl_hash(atoms[b], edges[b], node_mask[b])
+              for b in range(atoms.shape[0]) if valid[b]]
+    n_valid = len(hashes)
+    uniq = len(set(hashes))
+    out = {"validity": float(valid.mean()),
+           "uniqueness": uniq / n_valid if n_valid else 0.0}
+    if train_hashes is not None:
+        novel = sum(1 for h in set(hashes) if h not in train_hashes)
+        out["novelty"] = novel / uniq if uniq else 0.0
+    return out
+
+
+def random_molecule(rng: np.random.Generator, num_atoms: int,
+                    ring_prob: float = 0.3,
+                    double_prob: float = 0.15) -> tuple[np.ndarray, np.ndarray]:
+    """Generate a random VALID molecule graph (tree + rings, valence-safe).
+
+    Used as the synthetic stand-in when Zinc250k/Moses files are absent
+    (zero-egress environment).  Returns (atoms [n], dense adj [n, n]).
+    """
+    # bias toward organic-chemistry-ish composition
+    probs = np.asarray([0.72, 0.10, 0.10, 0.02, 0.01, 0.03, 0.01, 0.005,
+                        0.005])
+    probs = probs / probs.sum()
+    atoms = rng.choice(len(ATOM_TYPES), num_atoms, p=probs)
+    maxv = MAX_VALENCE_ARR[atoms]
+    adj = np.zeros((num_atoms, num_atoms), np.int64)
+
+    def spare(i):
+        return maxv[i] - adj[i].sum()
+
+    # spanning tree
+    for i in range(1, num_atoms):
+        cands = [j for j in range(i) if spare(j) >= 1]
+        if not cands:
+            cands = [int(np.argmax(maxv[:i] - adj[:i, :].sum(1)))]
+            # force carbon to have room: re-assign atom j to carbon
+            j = cands[0]
+            atoms[j] = 0
+            maxv[j] = MAX_VALENCE_ARR[0]
+        j = int(rng.choice(cands))
+        order = 1
+        if rng.random() < double_prob and spare(j) >= 2 and maxv[i] >= 2:
+            order = 2
+        adj[i, j] = adj[j, i] = order
+    # extra ring bonds
+    n_rings = rng.poisson(ring_prob * num_atoms / 10)
+    for _ in range(n_rings):
+        cand = [(i, j) for i in range(num_atoms) for j in range(i + 1,
+                                                                num_atoms)
+                if adj[i, j] == 0 and spare(i) >= 1 and spare(j) >= 1]
+        if not cand:
+            break
+        i, j = cand[int(rng.integers(len(cand)))]
+        adj[i, j] = adj[j, i] = 1
+    return atoms.astype(np.int32), adj

@@ -1,0 +1,171 @@
+"""Molecule generation task: GraphCNF on Zinc250k/Moses-format data.
+
+Reference parity: ``experiments/molecule_generation/`` (SURVEY.md C26):
+dataset loading, GraphCNF training, validity/uniqueness/novelty eval with
+valency correction, categorical prior over node count.
+
+Data: zero-egress environment — the loader reads a preprocessed
+``{name}.npz`` from ``data_dir`` when present (arrays: ``atoms`` [M, N]
+int8 atom-type ids, ``edges`` [M, E] int8 upper-tri bond orders,
+``num_atoms`` [M]); otherwise it falls back to the synthetic
+valence-correct generator in ``chem.py`` so the full pipeline stays
+end-to-end testable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from categoricalnf_tpu.models.graphcnf import GraphCNF
+from categoricalnf_tpu.tasks import chem
+from categoricalnf_tpu.training.task import TaskTemplate
+
+LN2 = 0.6931471805599453
+
+
+def load_molecule_dataset(name: str, data_dir: Optional[str],
+                          max_nodes: int, synth_size: int = 4096,
+                          seed: int = 0) -> dict:
+    data_dir = data_dir or os.environ.get("CNF_DATA_DIR", "data")
+    path = os.path.join(data_dir, f"{name}.npz")
+    if os.path.exists(path):
+        with np.load(path) as f:
+            atoms, edges = f["atoms"], f["edges"]
+            num_atoms = f["num_atoms"]
+    else:
+        rng = np.random.default_rng(seed)
+        E = max_nodes * (max_nodes - 1) // 2
+        atoms = np.zeros((synth_size, max_nodes), np.int32)
+        edges = np.zeros((synth_size, E), np.int32)
+        num_atoms = rng.integers(8, max_nodes + 1, synth_size)
+        for m in range(synth_size):
+            n = int(num_atoms[m])
+            a, adj = chem.random_molecule(rng, n)
+            atoms[m, :n] = a
+            full = np.zeros((max_nodes, max_nodes), np.int64)
+            full[:n, :n] = adj
+            edges[m] = chem.dense_to_edges(full)
+    mask = (np.arange(max_nodes)[None, :]
+            < num_atoms[:, None]).astype(np.float32)
+    return {"atoms": atoms.astype(np.int32),
+            "edges": edges.astype(np.int32),
+            "node_mask": mask, "num_atoms": num_atoms.astype(np.int32)}
+
+
+@dataclasses.dataclass
+class MoleculeTask(TaskTemplate):
+    dataset: str = "zinc250k"
+    data_dir: Optional[str] = None
+    max_nodes: int = 24
+    batch_size: int = 64
+    num_layers_node: int = 4
+    num_layers_edge: int = 4
+    hidden_dim: int = 96
+    num_mixtures: int = 8
+    eval_batches_count: int = 2
+    synth_size: int = 2048
+    compute_dtype: str = "float32"
+    name: str = "molecule_generation"
+
+    def __post_init__(self):
+        self.data = load_molecule_dataset(self.dataset, self.data_dir,
+                                          self.max_nodes, self.synth_size)
+        self.name = f"molecules_{self.dataset}"
+        self.model = GraphCNF(
+            num_atom_types=len(chem.ATOM_TYPES), num_bond_types=3,
+            max_nodes=self.max_nodes,
+            num_layers_node=self.num_layers_node,
+            num_layers_edge=self.num_layers_edge,
+            hidden_dim=self.hidden_dim, num_mixtures=self.num_mixtures,
+            compute_dtype=self.compute_dtype)
+        # categorical prior over node count (+1 smoothing)
+        counts = np.bincount(self.data["num_atoms"],
+                             minlength=self.max_nodes + 1).astype(np.float64)
+        counts += 1.0
+        self._logp_n = np.log(counts / counts.sum())
+        ntrain = int(0.9 * len(self.data["atoms"]))
+        self._split = ntrain
+        self._train_hashes = None  # built lazily for novelty
+
+    # -- data -------------------------------------------------------------
+
+    def _slice(self, idx) -> dict:
+        return {"atoms": self.data["atoms"][idx],
+                "edges": self.data["edges"][idx],
+                "node_mask": self.data["node_mask"][idx]}
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[dict]:
+        while True:
+            idx = rng.integers(0, self._split, self.batch_size)
+            yield self._slice(idx)
+
+    def eval_batches(self) -> list[dict]:
+        rng = np.random.default_rng(5)
+        out = []
+        for _ in range(self.eval_batches_count):
+            idx = rng.integers(self._split, len(self.data["atoms"]),
+                               self.batch_size)
+            out.append(self._slice(idx))
+        return out
+
+    # -- objective (overrides: different batch structure) ------------------
+
+    def loss(self, params, batch, rng, beta):
+        return self.model.loss_bpd(params, batch["atoms"], batch["edges"],
+                                   batch["node_mask"], rng, beta)
+
+    def eval_step(self, params, batch, rng, num_samples):
+        bpd = self.model.eval_bpd(params, batch["atoms"], batch["edges"],
+                                  batch["node_mask"], rng, num_samples)
+        # include the categorical node-count prior in the likelihood
+        n = jnp.asarray(batch["node_mask"], jnp.float32).sum(-1)
+        logp_n = jnp.asarray(self._logp_n, jnp.float32)[
+            n.astype(jnp.int32)]
+        e_mask = self.model.edge_mask(batch["node_mask"])
+        n_vars = n + e_mask.sum(-1)
+        return bpd - logp_n / (n_vars * LN2)
+
+    def init_params(self, rng):
+        return self.model.init(rng)
+
+    def data_init(self, params, batch, rng):
+        return self.model.data_init(params, batch["atoms"], batch["edges"],
+                                    batch["node_mask"], rng)
+
+    # -- sampling / metrics ------------------------------------------------
+
+    def sample_node_mask(self, rng: np.random.Generator,
+                         batch: int) -> np.ndarray:
+        p = np.exp(self._logp_n)
+        counts = rng.choice(len(p), size=batch, p=p / p.sum())
+        counts = np.maximum(counts, 1)
+        return (np.arange(self.max_nodes)[None, :]
+                < counts[:, None]).astype(np.float32)
+
+    def sample_metrics(self, params, rng: jax.Array) -> dict:
+        np_rng = np.random.default_rng(int(jax.random.randint(
+            rng, (), 0, 2**31 - 1)))
+        node_mask = self.sample_node_mask(np_rng, self.batch_size)
+        atoms, edges = self.model.sample(params, rng,
+                                         jnp.asarray(node_mask))
+        atoms, edges = np.asarray(atoms), np.asarray(edges)
+        if self._train_hashes is None:
+            d = self._slice(np.arange(min(self._split, 512)))
+            self._train_hashes = {
+                chem.wl_hash(d["atoms"][i], d["edges"][i],
+                             d["node_mask"][i])
+                for i in range(len(d["atoms"]))}
+        raw = chem.sample_quality(atoms, edges, node_mask,
+                                  self._train_hashes, correct=False)
+        fixed = chem.sample_quality(atoms, edges, node_mask,
+                                    self._train_hashes, correct=True)
+        return {"validity": raw["validity"],
+                "uniqueness": raw["uniqueness"],
+                "novelty": raw.get("novelty", 0.0),
+                "validity_corrected": fixed["validity"]}

@@ -1,0 +1,126 @@
+"""Chemistry utils + GraphCNF + molecule task tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from categoricalnf_tpu.tasks import chem
+from categoricalnf_tpu.tasks.molecules import MoleculeTask
+
+
+def test_random_molecules_are_valid():
+    rng = np.random.default_rng(0)
+    n, N = 20, 12
+    atoms = np.zeros((n, N), np.int32)
+    edges = np.zeros((n, N * (N - 1) // 2), np.int32)
+    mask = np.zeros((n, N), np.float32)
+    for b in range(n):
+        k = int(rng.integers(4, N + 1))
+        a, adj = chem.random_molecule(rng, k)
+        atoms[b, :k] = a
+        full = np.zeros((N, N), np.int64)
+        full[:k, :k] = adj
+        edges[b] = chem.dense_to_edges(full)
+        mask[b, :k] = 1.0
+    valid = chem.molecule_validity(atoms, edges, mask)
+    assert valid.all(), f"{valid.mean()} of synthetic molecules valid"
+
+
+def test_validity_catches_violations():
+    # 3 atoms: F-F with extra bond to F is invalid (F max valence 1)
+    N = 3
+    atoms = np.asarray([[3, 3, 3]], np.int32)  # F F F
+    edges = np.zeros((1, 3), np.int32)
+    edges[0, 0] = 1  # F0-F1
+    edges[0, 1] = 1  # F0-F2 -> F0 has valence 2 > 1
+    mask = np.ones((1, N), np.float32)
+    assert not chem.molecule_validity(atoms, edges, mask)[0]
+
+
+def test_valency_correction_fixes_violations():
+    N = 4
+    atoms = np.asarray([[0, 2, 2, 2]], np.int32)  # C O O O
+    # C bonded to all three O with double bonds -> valence 6 > 4
+    edges = np.zeros((1, 6), np.int32)
+    # pairs order: (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)
+    edges[0, 0] = 2
+    edges[0, 1] = 2
+    edges[0, 2] = 2
+    mask = np.ones((1, N), np.float32)
+    assert not chem.molecule_validity(atoms, edges, mask)[0]
+    fixed = chem.valency_correction(atoms, edges, mask)
+    assert chem.molecule_validity(atoms, fixed, mask)[0]
+
+
+def test_wl_hash_invariance():
+    rng = np.random.default_rng(1)
+    a, adj = chem.random_molecule(rng, 8)
+    N = 8
+    perm = rng.permutation(N)
+    a2 = a[perm]
+    adj2 = adj[np.ix_(perm, perm)]
+    mask = np.ones(N, np.float32)
+    h1 = chem.wl_hash(a, chem.dense_to_edges(adj), mask)
+    h2 = chem.wl_hash(a2, chem.dense_to_edges(adj2), mask)
+    assert h1 == h2
+    # different molecule -> different hash
+    a3, adj3 = chem.random_molecule(np.random.default_rng(2), 8)
+    h3 = chem.wl_hash(a3, chem.dense_to_edges(adj3), mask)
+    assert h1 != h3
+
+
+def _tiny_task():
+    return MoleculeTask(max_nodes=9, batch_size=8, num_layers_node=1,
+                        num_layers_edge=1, hidden_dim=32, num_mixtures=4,
+                        synth_size=64, eval_batches_count=1)
+
+
+def test_graphcnf_loss_eval(rng):
+    task = _tiny_task()
+    params = task.init_params(rng)
+    batch = next(task.train_batches(np.random.default_rng(0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss = float(task.loss(params, batch, rng, 1.0))
+    assert np.isfinite(loss) and loss > 0
+    bpd = task.eval_step(params, batch, rng, 2)
+    assert np.all(np.isfinite(np.asarray(bpd)))
+
+
+def test_graphcnf_data_init_and_sampling(rng):
+    task = _tiny_task()
+    params = task.init_params(rng)
+    batch = next(task.train_batches(np.random.default_rng(0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = task.data_init(params, batch, rng)
+    m = task.sample_metrics(params, rng)
+    assert set(m) == {"validity", "uniqueness", "novelty",
+                      "validity_corrected"}
+    assert 0.0 <= m["validity"] <= 1.0
+    assert m["validity_corrected"] >= m["validity"] - 1e-9
+
+
+def test_graphcnf_training_step_reduces_loss(rng):
+    import optax
+    task = _tiny_task()
+    params = task.init_params(rng)
+    b0 = next(task.train_batches(np.random.default_rng(0)))
+    b0 = {k: jnp.asarray(v) for k, v in b0.items()}
+    params = task.data_init(params, b0, rng)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, batch, key):
+        loss, g = jax.value_and_grad(
+            lambda pp: task.loss(pp, batch, key, 1.0))(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    it = task.train_batches(np.random.default_rng(1))
+    losses = []
+    for i in range(30):
+        b = {k: jnp.asarray(v) for k, v in next(it).items()}
+        params, opt, loss = step(params, opt, b, jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.1, (
+        losses[:3], losses[-3:])
