@@ -1,0 +1,63 @@
+"""Profile the mixture-CDF hot paths: XLA vs Pallas on the TPU.
+
+SURVEY.md §7.2: 'Ship XLA-jnp versions first; add Pallas fusions only
+after profiling shows XLA fusion leaves throughput on the table —
+measure, don't assume.'  This is the measurement.
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from categoricalnf_tpu.ops import numerics as nm
+from categoricalnf_tpu.ops.pallas.mixture import (mixture_forward_pallas,
+                                                  mixture_inverse_pallas)
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    rng = jax.random.PRNGKey(0)
+    for M, K in [(1 << 18, 8), (1 << 20, 8), (1 << 20, 16), (1 << 22, 8)]:
+        ks = jax.random.split(rng, 4)
+        x = jax.random.normal(ks[0], (M,)) * 2.0
+        pi = jax.random.normal(ks[1], (M, K))
+        mu = jax.random.normal(ks[2], (M, K)) * 2.0
+        ls = jax.random.normal(ks[3], (M, K)) * 0.5 - 0.5
+        y, _ = nm.mixture_logit_cdf_and_ldj(x, pi, mu, ls)
+
+        fwd_xla = jax.jit(nm.mixture_logit_cdf_and_ldj)
+        inv_xla = jax.jit(functools.partial(nm.mixture_inverse_logit_cdf))
+
+        t_fx = timeit(fwd_xla, x, pi, mu, ls)
+        t_fp = timeit(mixture_forward_pallas, x, pi, mu, ls)
+        t_ix = timeit(inv_xla, y, pi, mu, ls, iters=5)
+        t_ip = timeit(mixture_inverse_pallas, y, pi, mu, ls, iters=5)
+
+        bytes_fwd = M * 4 * (3 * K + 3)
+        print(f"M=2^{M.bit_length()-1} K={K}:")
+        print(f"  fwd  XLA {t_fx*1e3:7.3f} ms ({bytes_fwd/t_fx/1e9:6.1f} GB/s)"
+              f"  Pallas {t_fp*1e3:7.3f} ms ({bytes_fwd/t_fp/1e9:6.1f} GB/s)"
+              f"  speedup {t_fx/t_fp:5.2f}x")
+        print(f"  inv  XLA {t_ix*1e3:7.3f} ms"
+              f"  Pallas {t_ip*1e3:7.3f} ms  speedup {t_ix/t_ip:5.2f}x")
+
+        # correctness on-device
+        import numpy as np
+        xp = mixture_inverse_pallas(y, pi, mu, ls)
+        err = float(jnp.max(jnp.abs(xp - x)))
+        print(f"  inverse max err vs truth: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

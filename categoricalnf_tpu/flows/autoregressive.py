@@ -71,9 +71,10 @@ class AutoregressiveMixtureCDF(Transform):
             y_t, cond_t = inputs
             net_carry, raw = self.net.step(params["net"], net_carry, x_prev,
                                            cond_t)
+            from categoricalnf_tpu.ops.dispatch import mixture_inverse
             t, a, pi, mu, ls = self._split_raw(params, raw, (B, D))
             u = (y_t - t) * jnp.exp(-a)
-            x_t = nm.mixture_inverse_logit_cdf(u, pi, mu, ls)
+            x_t = mixture_inverse(u, pi, mu, ls)
             _, elem_ldj = nm.mixture_logit_cdf_and_ldj(x_t, pi, mu, ls)
             return (net_carry, x_t), (x_t, (elem_ldj + a).sum(axis=-1))
 

@@ -107,10 +107,11 @@ class MixtureCDFCoupling(Transform):
     def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
         # Net input z*m is untouched by the transform, so a single pass
         # suffices (no per-channel sequential loop).
+        from categoricalnf_tpu.ops.dispatch import mixture_inverse
         m, t, a, pi, mu, ls = self._params_for(params, z, cond, mask)
         z32 = jnp.asarray(z, jnp.float32)
         u = (z32 - t) * jnp.exp(-a)
-        x = nm.mixture_inverse_logit_cdf(u, pi, mu, ls)
+        x = mixture_inverse(u, pi, mu, ls)
         out = m * z32 + (1.0 - m) * x
         _, elem_ldj = nm.mixture_logit_cdf_and_ldj(x, pi, mu, ls)
         per = (elem_ldj + a) * (1.0 - m)
