@@ -47,6 +47,12 @@ class TrainConfig:
     out_dir: Optional[str] = None
     log_every: int = 100
     keep_checkpoints: int = 2
+    # Tracing/profiling (SURVEY.md §5): when set, a jax.profiler trace of
+    # steps [profile_start, profile_start+profile_steps) is written here
+    # (viewable with tensorboard-plugin-profile).
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_steps: int = 5
 
 
 class Trainer:
@@ -127,9 +133,16 @@ class Trainer:
         t_last = time.time()
         steps_since = 0
         for step in range(start_step, cfg.num_steps):
+            if cfg.profile_dir and step == cfg.profile_start:
+                jax.profiler.start_trace(cfg.profile_dir)
             batch = self._shard(next(data_iter))
             state, metrics = self._train_step(
                 state, batch, jax.random.fold_in(rng, step))
+            if (cfg.profile_dir
+                    and step == cfg.profile_start + cfg.profile_steps - 1):
+                jax.tree.map(
+                    lambda a: a.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
             steps_since += 1
 
             if (step + 1) % cfg.log_every == 0:

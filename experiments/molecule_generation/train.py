@@ -1,0 +1,46 @@
+"""Molecule generation experiment CLI: GraphCNF on Zinc250k/Moses
+(reference parity: ``experiments/molecule_generation/train.py``,
+SURVEY.md C26/C27).
+
+Example:
+    python experiments/molecule_generation/train.py --dataset zinc250k \
+        --num_steps 50000 --out_dir runs/zinc
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from categoricalnf_tpu.tasks.molecules import MoleculeTask
+from categoricalnf_tpu.utils.cli import default_parser, run_training
+
+
+def main():
+    p = default_parser("GraphCNF molecule generation")
+    p.add_argument("--dataset", type=str, default="zinc250k",
+                   choices=["zinc250k", "moses"])
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--max_nodes", type=int, default=38)
+    p.add_argument("--num_layers_node", type=int, default=4)
+    p.add_argument("--num_layers_edge", type=int, default=4)
+    p.set_defaults(batch_size=64)
+    args = p.parse_args()
+    task = MoleculeTask(
+        dataset=args.dataset, data_dir=args.data_dir,
+        max_nodes=args.max_nodes, batch_size=args.batch_size,
+        num_layers_node=args.num_layers_node,
+        num_layers_edge=args.num_layers_edge,
+        hidden_dim=args.hidden_dim, num_mixtures=args.num_mixtures,
+        compute_dtype=args.compute_dtype)
+    final = run_training(task, args)
+    print(f"best bpd {final['best_bpd']:.4f} | "
+          f"validity {final.get('validity', float('nan')):.3f} "
+          f"(corrected {final.get('validity_corrected', float('nan')):.3f}) | "
+          f"uniqueness {final.get('uniqueness', float('nan')):.3f} | "
+          f"novelty {final.get('novelty', float('nan')):.3f}")
+
+
+if __name__ == "__main__":
+    main()
