@@ -32,6 +32,12 @@ Array = jax.Array
 class MixtureEncoding(Encoding):
     init_scale: float = 1.0
     init_log_sigma: float = -2.0
+    # Posterior scales are clamped to [min_log_sigma, max_log_sigma].  The
+    # lower bound keeps q(z|x) wider than fp32 resolution — without it the
+    # optimiser collapses sigma below float precision, continuous densities
+    # stop being densities, and the ELBO diverges past 0 (negative "bpd").
+    min_log_sigma: float = -4.6  # sigma >= 0.01
+    max_log_sigma: float = 2.3
 
     def init(self, rng: jax.Array):
         k_mu, _ = jax.random.split(rng)
@@ -42,9 +48,12 @@ class MixtureEncoding(Encoding):
             "prior_logits": jnp.zeros((K,), jnp.float32),
         }
 
+    def _ls(self, raw):
+        return jnp.clip(raw, self.min_log_sigma, self.max_log_sigma)
+
     def encode(self, params, x, rng, *, mask=None):
         mu = params["means"][x]            # [B, T, D]
-        ls = params["log_scales"][x]
+        ls = self._ls(params["log_scales"][x])
         z = nm.logistic_sample(rng, mu.shape, mean=mu, log_scale=ls)
         log_q = sum_ldj(nm.logistic_log_pdf(z, mu, ls), mask)
         return z, log_q
@@ -52,7 +61,7 @@ class MixtureEncoding(Encoding):
     def _log_joint_all(self, params, z):
         """log p̃(c) + log q(z|c) for all categories: [B, T, K]."""
         mu = params["means"]               # [K, D]
-        ls = params["log_scales"]
+        ls = self._ls(params["log_scales"])
         comp = nm.logistic_log_pdf(z[..., None, :], mu, ls).sum(-1)  # [B,T,K]
         log_prior = jax.nn.log_softmax(params["prior_logits"])
         return comp + log_prior

@@ -22,10 +22,14 @@ import jax.numpy as jnp
 Array = jax.Array
 
 # Network outputs parameterising log-scales are clamped to this range before
-# exponentiation. exp(±12) is well within fp32 range and covers any useful
-# logistic bandwidth.
-LOG_SCALE_MIN = -12.0
-LOG_SCALE_MAX = 12.0
+# exponentiation.  The LOWER bound is a correctness constraint, not just an
+# overflow guard: a logistic component narrower than ~1e-3 drops below fp32
+# resolution of its argument, at which point "continuous density" values
+# become meaningless and the ELBO can spuriously exceed 0 (observed as
+# negative bits/dim when the posterior collapses).  exp(7) ≈ 1100 covers any
+# useful bandwidth on the wide side.
+LOG_SCALE_MIN = -7.0
+LOG_SCALE_MAX = 7.0
 
 
 def _f32(x: Array) -> Array:
