@@ -20,6 +20,8 @@ import optax
 def main():
     from categoricalnf_tpu.tasks import SetShufflingTask
     from categoricalnf_tpu.training.state import OptimizerConfig, TrainState
+    from categoricalnf_tpu.utils.jax_setup import setup_jax
+    setup_jax()
 
     batch_size = 1024
     task = SetShufflingTask(set_size=16, batch_size=batch_size,

@@ -153,8 +153,11 @@ class Trainer:
                 t_last, steps_since = time.time(), 0
 
             if (step + 1) % cfg.eval_every == 0 or step + 1 == cfg.num_steps:
+                is_final = step + 1 == cfg.num_steps
                 eval_metrics = self.evaluate(
-                    state.params, num_samples=cfg.eval_samples,
+                    state.params,
+                    num_samples=(cfg.final_eval_samples if is_final
+                                 else cfg.eval_samples),
                     rng=jax.random.fold_in(rng, 2**30 + step))
                 self.logger.log(step + 1, eval_metrics, "val")
                 if ckpt is not None and eval_metrics["bpd"] < best_bpd:

@@ -57,6 +57,8 @@ def train_config_from_args(args) -> TrainConfig:
 
 
 def run_training(task, args) -> dict:
+    from categoricalnf_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     set_seed(args.seed)
     cfg = train_config_from_args(args)
     if args.out_dir:

@@ -1,0 +1,57 @@
+"""Utils + dispatch tests."""
+
+import os
+
+import numpy as np
+
+from categoricalnf_tpu.ops.dispatch import _use_pallas
+from categoricalnf_tpu.utils.config import (get_param_val, load_config,
+                                            save_config, set_seed)
+from categoricalnf_tpu.utils.debug import assert_finite_tree
+
+
+def test_get_param_val_nested():
+    cfg = {"a": {"b": {"c": 3}}, "x": 1}
+    assert get_param_val(cfg, "a.b.c") == 3
+    assert get_param_val(cfg, "x") == 1
+    assert get_param_val(cfg, "missing", default=7) == 7
+    try:
+        get_param_val(cfg, "missing", allow_default=False)
+        assert False
+    except KeyError:
+        pass
+
+
+def test_save_load_config(tmp_path):
+    path = save_config(str(tmp_path), {"lr": 1e-3, "name": "run"})
+    assert os.path.exists(path)
+    cfg = load_config(str(tmp_path))
+    assert cfg["lr"] == 1e-3 and cfg["name"] == "run"
+    assert load_config(str(tmp_path / "nope")) is None
+
+
+def test_set_seed_deterministic():
+    set_seed(3)
+    a = np.random.rand(4)
+    set_seed(3)
+    b = np.random.rand(4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dispatch_cpu_never_pallas():
+    # tests run on the CPU platform: dispatch must always pick XLA
+    assert not _use_pallas(1 << 22)
+
+
+def test_dispatch_env_override(monkeypatch):
+    monkeypatch.setenv("CNF_PALLAS", "0")
+    assert not _use_pallas(1 << 22)
+
+
+def test_assert_finite_tree():
+    assert_finite_tree({"a": np.ones(3)}, "ok")
+    try:
+        assert_finite_tree({"a": np.asarray([1.0, np.nan])}, "bad")
+        assert False
+    except FloatingPointError as e:
+        assert "bad" in str(e)
