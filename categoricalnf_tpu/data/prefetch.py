@@ -1,0 +1,50 @@
+"""Threaded batch prefetcher — the DataLoader-worker equivalent.
+
+Reference parity: ``torch.utils.data.DataLoader`` worker processes are the
+reference's only process boundary (SURVEY.md §2).  Here host-side batch
+generation runs in a daemon thread with a bounded queue so it overlaps
+with the TPU step; the native C++ generators release the GIL, so one
+thread suffices.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+
+class Prefetcher:
+    def __init__(self, it: Iterator, depth: int = 4):
+        self._it = it
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._it:
+                self._q.put(item)
+        except BaseException as e:  # surface generator errors to consumer
+            self._err = e
+        finally:
+            self._q.put(_STOP)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _STOP:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class _Stop:
+    pass
+
+
+_STOP = _Stop()

@@ -27,6 +27,7 @@ import jax
 import numpy as np
 
 from categoricalnf_tpu import encodings, flows, networks
+from categoricalnf_tpu.data import native_loader
 from categoricalnf_tpu.models.categorical_flow import CategoricalFlow
 from categoricalnf_tpu.training.task import TaskTemplate
 
@@ -98,15 +99,16 @@ def synthetic_markov_corpus(vocab_size: int = 27, length: int = 2_000_000,
     pi = np.abs(pi) / np.abs(pi).sum()
     ent = -(pi[:, None] * P * np.log2(np.maximum(P, 1e-30))).sum()
 
-    # sample one long chain, then split
-    out = np.empty(length, np.int32)
-    state = rng.choice(vocab_size, p=pi)
-    # vectorised-ish rollout in blocks via inverse-CDF on uniforms
-    cdf = np.cumsum(P, axis=1)
-    u = rng.random(length)
-    for t in range(length):
-        state = int(np.searchsorted(cdf[state], u[t]))
-        out[t] = state
+    # sample one long chain, then split (C++ rollout when available)
+    state = int(rng.choice(vocab_size, p=pi))
+    out = native_loader.markov_rollout(seed + 17, P, length, state)
+    if out is None:
+        out = np.empty(length, np.int32)
+        cdf = np.cumsum(P, axis=1)
+        u = rng.random(length)
+        for t in range(length):
+            state = int(np.searchsorted(cdf[state], u[t]))
+            out[t] = state
     n = length
     a, b = int(n * 0.9), int(n * 0.95)
     vocab = [chr(ord("a") + i) if i < 26 else "_" for i in range(vocab_size)]
@@ -181,6 +183,10 @@ class LanguageModelingTask(TaskTemplate):
     def _chunks(self, split: str, rng: np.random.Generator,
                 n: int) -> np.ndarray:
         stream = self.corpus.splits[split]
+        out = native_loader.chunk_corpus(int(rng.integers(2**62)), stream,
+                                         n, self.seq_len)
+        if out is not None:
+            return out
         starts = rng.integers(0, len(stream) - self.seq_len - 1, n)
         return np.stack([stream[s:s + self.seq_len] for s in starts])
 

@@ -23,6 +23,7 @@ import jax
 import numpy as np
 
 from categoricalnf_tpu import encodings, flows, networks
+from categoricalnf_tpu.data import native_loader
 from categoricalnf_tpu.models.categorical_flow import CategoricalFlow
 from categoricalnf_tpu.training.task import TaskTemplate
 
@@ -69,6 +70,10 @@ class SetShufflingTask(TaskTemplate):
                                 compute_dtype=self.compute_dtype))
 
     def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        out = native_loader.gen_permutations(
+            int(rng.integers(2**62)), n, self.set_size)
+        if out is not None:
+            return out
         return np.argsort(
             rng.random((n, self.set_size)), axis=1).astype(np.int32)
 
@@ -133,6 +138,11 @@ class SetSummationTask(TaskTemplate):
 
     def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
         """Rejection-sample uniform sum-constrained sequences (vectorized)."""
+        native = native_loader.gen_sum_sequences(
+            int(rng.integers(2**62)), n, self.set_size,
+            self.num_categories, self.target_sum)
+        if native is not None:
+            return native
         out = np.empty((0, self.set_size), np.int32)
         while out.shape[0] < n:
             cand = rng.integers(1, self.num_categories + 1,

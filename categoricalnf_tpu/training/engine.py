@@ -103,7 +103,8 @@ class Trainer:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
-        data_iter = self.task.train_batches(np_rng)
+        from categoricalnf_tpu.data.prefetch import Prefetcher
+        data_iter = Prefetcher(self.task.train_batches(np_rng))
 
         start_step = 0
         ckpt = (ckpt_lib.CheckpointManager(cfg.out_dir, cfg.keep_checkpoints)
