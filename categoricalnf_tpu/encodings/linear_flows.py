@@ -28,6 +28,7 @@ from categoricalnf_tpu.flows.coupling import MixtureCDFCoupling
 from categoricalnf_tpu.flows.distributions import LogisticPrior
 from categoricalnf_tpu.flows.linear import InvertibleLinear
 from categoricalnf_tpu.flows.model import FlowModel
+from categoricalnf_tpu.flows.softclamp import SoftClamp
 from categoricalnf_tpu.networks.mlp import MLP
 
 Array = jax.Array
@@ -46,6 +47,7 @@ def default_encoding_flow(dim: int, num_blocks: int = 2,
                                          parity=0, num_mixtures=num_mixtures))
         layers.append(MixtureCDFCoupling(net=net, mask_kind="channel",
                                          parity=1, num_mixtures=num_mixtures))
+        layers.append(SoftClamp())
     return FlowModel(layers=tuple(layers), prior=LogisticPrior())
 
 

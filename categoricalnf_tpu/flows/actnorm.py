@@ -29,6 +29,9 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class ActNorm(Transform):
     has_data_init: bool = dataclasses.field(default=True, init=False, repr=False)
+    # tanh cap on the learned log-scale: unbounded per-layer scaling lets
+    # activations outrun fp32 resolution (see flows/softclamp.py).
+    scale_cap: float = 5.0
 
     def init(self, rng, event_dim: int, cond_dim: int = 0):
         return {
@@ -36,21 +39,30 @@ class ActNorm(Transform):
             "log_scale": jnp.zeros((event_dim,), jnp.float32),
         }
 
+    def _ls(self, params):
+        return self.scale_cap * jnp.tanh(params["log_scale"] / self.scale_cap)
+
     def forward(self, params, z, ldj, *, cond=None, mask=None, rng=None):
-        z = (z + params["bias"]) * jnp.exp(params["log_scale"])
-        per = jnp.broadcast_to(params["log_scale"], z.shape)
+        ls = self._ls(params)
+        z = (z + params["bias"]) * jnp.exp(ls)
+        per = jnp.broadcast_to(ls, z.shape)
         return z, ldj + sum_ldj(per, mask)
 
     def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
-        z = z * jnp.exp(-params["log_scale"]) - params["bias"]
-        per = jnp.broadcast_to(params["log_scale"], z.shape)
+        ls = self._ls(params)
+        z = z * jnp.exp(-ls) - params["bias"]
+        per = jnp.broadcast_to(ls, z.shape)
         return z, ldj - sum_ldj(per, mask)
 
     def data_init(self, params, z, *, cond=None, mask=None):
         mean, var = _masked_moments(z, mask)
+        target_ls = jnp.clip(-0.5 * jnp.log(var + 1e-6),
+                             -self.scale_cap + 0.1, self.scale_cap - 0.1)
         params = {
             "bias": -mean,
-            "log_scale": -0.5 * jnp.log(var + 1e-6),
+            # invert the tanh cap so the effective scale hits the target
+            "log_scale": self.scale_cap * jnp.arctanh(
+                target_ls / self.scale_cap),
         }
         z, _ = self.forward(params, z, jnp.zeros(z.shape[0], jnp.float32),
                             mask=mask)

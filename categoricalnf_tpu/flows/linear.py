@@ -38,7 +38,13 @@ class ReverseChannels(Transform):
 
 @dataclasses.dataclass(frozen=True)
 class InvertibleLinear(Transform):
-    """LU-parameterised invertible channel mixing (GLOW 1x1)."""
+    """LU-parameterised invertible channel mixing (GLOW 1x1).
+
+    The diagonal log-scales are tanh-capped: unbounded channel scaling is
+    an fp32-resolution escape hatch (see flows/softclamp.py).
+    """
+
+    scale_cap: float = 5.0
 
     def init(self, rng, event_dim: int, cond_dim: int = 0):
         # Random rotation start, decomposed into P L U.
@@ -54,12 +60,15 @@ class InvertibleLinear(Transform):
             "log_s": jnp.log(jnp.abs(s) + 1e-12).astype(jnp.float32),
         }
 
+    def _ls(self, params):
+        return self.scale_cap * jnp.tanh(params["log_s"] / self.scale_cap)
+
     def _weight(self, params):
         d = params["log_s"].shape[0]
         eye = jnp.eye(d, dtype=jnp.float32)
         l = jnp.tril(params["lower"], k=-1) + eye
         u = jnp.triu(params["upper"], k=1) + jnp.diag(
-            params["sign_s"] * jnp.exp(params["log_s"]))
+            params["sign_s"] * jnp.exp(self._ls(params)))
         return params["perm"] @ l @ u
 
     def forward(self, params, z, ldj, *, cond=None, mask=None, rng=None):
@@ -67,7 +76,7 @@ class InvertibleLinear(Transform):
         z32 = jnp.asarray(z, jnp.float32)
         out = jnp.einsum("...d,de->...e", z32, w,
                          precision=jax.lax.Precision.HIGHEST)
-        per = jnp.broadcast_to(params["log_s"], out.shape)
+        per = jnp.broadcast_to(self._ls(params), out.shape)
         return out, ldj + sum_ldj(per, mask)
 
     def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
@@ -76,5 +85,5 @@ class InvertibleLinear(Transform):
         z32 = jnp.asarray(z, jnp.float32)
         out = jnp.einsum("...d,de->...e", z32, w_inv,
                          precision=jax.lax.Precision.HIGHEST)
-        per = jnp.broadcast_to(params["log_s"], out.shape)
+        per = jnp.broadcast_to(self._ls(params), out.shape)
         return out, ldj - sum_ldj(per, mask)

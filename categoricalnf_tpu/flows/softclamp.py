@@ -1,0 +1,53 @@
+"""SoftClamp: exact smooth bijection bounding activations to (-c, c).
+
+Numerical-integrity layer, not an expressivity layer.  Deep mixture-CDF
+stacks can legally produce huge log-det-Jacobians, and if intermediate
+activations grow past fp32 resolution the CLAIMED ldj decouples from the
+ACTUAL computed map — the optimizer then mines that gap for free
+likelihood (observed: bits/dim → -300 with reconstruction error 1e12).
+Bounding every block's output to (-c, c) keeps fp32 spacing ≤ c·2^-23
+(≈4e-6 at c=30), so all downstream CDF evaluations stay resolvable and
+the density stays a density.
+
+    y  = c · tanh(x / c)          ldj = Σ 2·log sech(x/c)
+    x  = c · atanh(y / c)         (inverse; y clipped inside ±c)
+
+Near 0 the map is identity to second order, so normalised activations
+(actnorm keeps them ~unit) pass through essentially unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from categoricalnf_tpu.flows.base import Transform, sum_ldj
+
+
+def _log_cosh(u):
+    au = jnp.abs(u)
+    return au + jnp.log1p(jnp.exp(-2.0 * au)) - 0.6931471805599453
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftClamp(Transform):
+    cap: float = 30.0
+
+    def init(self, rng, event_dim: int, cond_dim: int = 0):
+        return {}
+
+    def forward(self, params, z, ldj, *, cond=None, mask=None, rng=None):
+        z32 = jnp.asarray(z, jnp.float32)
+        u = z32 / self.cap
+        out = self.cap * jnp.tanh(u)
+        per = -2.0 * _log_cosh(u)
+        return out, ldj + sum_ldj(per, mask)
+
+    def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
+        z32 = jnp.asarray(z, jnp.float32)
+        v = jnp.clip(z32 / self.cap, -1.0 + 1e-6, 1.0 - 1e-6)
+        x = self.cap * jnp.arctanh(v)
+        per = -2.0 * _log_cosh(x / self.cap)
+        return x, ldj - sum_ldj(per, mask)

@@ -64,11 +64,20 @@ class CategoricalFlow:
 
     def loss_bpd(self, params, x: Array, rng: jax.Array, *,
                  cond=None, mask=None, beta: float | Array = 1.0) -> Array:
-        """Mean bits/variable; ``beta`` anneals the posterior term."""
+        """Mean bits/variable; ``beta`` anneals the posterior term.
+
+        Includes a positive-ELBO guard: E_q[log p/q] <= 0 holds for any
+        normalised density, so a positive BATCH-MEAN ELBO certifies that
+        the flow is exploiting a numerical gap between its claimed ldj and
+        the actual fp32 map.  The quadratic penalty points the gradient
+        straight back out of that regime (inert in legitimate training).
+        """
         parts = self.elbo(params, x, rng, cond=cond, mask=mask)
         obj = parts["log_pz"] + parts["log_dec"] - beta * parts["log_q"]
         n = _num_vars(x, mask)
-        return jnp.mean(-obj / (n * LN2))
+        loss = jnp.mean(-obj / (n * LN2))
+        cheat = jax.nn.relu(jnp.mean(parts["elbo"] / (n * LN2)))
+        return loss + 10.0 * cheat * cheat
 
     # -- evaluation -------------------------------------------------------
 

@@ -49,6 +49,7 @@ def build_node_flow(dim: int, num_layers: int, hidden_dim: int,
         layers.append(flows.MixtureCDFCoupling(
             net=net, mask_kind="channel", parity=i % 2,
             num_mixtures=num_mixtures))
+        layers.append(flows.SoftClamp())
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 
@@ -65,6 +66,7 @@ def build_edge_flow(dim: int, max_nodes: int, cond_node_dim: int,
         layers.append(flows.MixtureCDFCoupling(
             net=net, mask_kind="channel", parity=i % 2,
             num_mixtures=num_mixtures))
+        layers.append(flows.SoftClamp())
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 
@@ -191,7 +193,11 @@ class GraphCNF:
         obj = parts["log_p"] + parts["log_dec"] - beta * parts["log_q"]
         n_vars = (node_mask.sum(-1)
                   + self.edge_mask(node_mask).sum(-1))
-        return jnp.mean(-obj / (n_vars * LN2))
+        loss = jnp.mean(-obj / (n_vars * LN2))
+        # positive-ELBO guard (see CategoricalFlow.loss_bpd)
+        elbo = parts["log_p"] + parts["log_dec"] - parts["log_q"]
+        cheat = jax.nn.relu(jnp.mean(elbo / (n_vars * LN2)))
+        return loss + 10.0 * cheat * cheat
 
     def iw_log_prob(self, params, atoms, edges, node_mask, rng,
                     num_samples: int) -> Array:

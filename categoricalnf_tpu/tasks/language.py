@@ -149,6 +149,7 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
                                     num_layers=lstm_layers,
                                     compute_dtype=compute_dtype),
             num_mixtures=num_mixtures))
+        layers.append(flows.SoftClamp())
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 

@@ -41,6 +41,7 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
         layers.append(flows.MixtureCDFCoupling(
             net=net, mask_kind="channel", parity=i % 2,
             num_mixtures=num_mixtures))
+        layers.append(flows.SoftClamp())
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 
