@@ -10,6 +10,7 @@ from categoricalnf_tpu.flows.distributions import (GaussianPrior,
 from categoricalnf_tpu.flows.linear import InvertibleLinear, ReverseChannels
 from categoricalnf_tpu.flows.model import FlowModel
 from categoricalnf_tpu.flows.sigmoid import Logit, Sigmoid
+from categoricalnf_tpu.flows.scanned import ScannedBlocks
 from categoricalnf_tpu.flows.softclamp import SoftClamp
 
 __all__ = [
@@ -17,5 +18,5 @@ __all__ = [
     "AutoregressiveMixtureCDF", "MixtureCDFCoupling", "make_channel_mask",
     "make_checker_mask", "GaussianPrior", "LogisticPrior", "create_prior",
     "InvertibleLinear", "ReverseChannels", "FlowModel", "Logit", "Sigmoid",
-    "SoftClamp",
+    "SoftClamp", "ScannedBlocks",
 ]

@@ -38,36 +38,48 @@ from categoricalnf_tpu.networks.transformer import SetTransformer
 Array = jax.Array
 
 
+def _stacked(sub, num_layers: int, scan_blocks: bool = True):
+    if scan_blocks and num_layers % 2 == 0 and num_layers >= 4:
+        return flows.FlowModel(
+            layers=(flows.ScannedBlocks(block=sub(0) + sub(1),
+                                        depth=num_layers // 2),),
+            prior=flows.LogisticPrior())
+    layers = []
+    for i in range(num_layers):
+        layers.extend(sub(i % 2))
+    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+
 def build_node_flow(dim: int, num_layers: int, hidden_dim: int,
                     num_mixtures: int, compute_dtype: str):
     net = SetTransformer(hidden_dim=hidden_dim, num_heads=4, num_layers=2,
                          compute_dtype=compute_dtype)
-    layers = []
-    for i in range(num_layers):
-        layers.append(flows.ActNorm())
-        layers.append(flows.InvertibleLinear())
-        layers.append(flows.MixtureCDFCoupling(
-            net=net, mask_kind="channel", parity=i % 2,
-            num_mixtures=num_mixtures))
-        layers.append(flows.SoftClamp())
-    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+
+    def sub(parity):
+        return (flows.ActNorm(), flows.InvertibleLinear(),
+                flows.MixtureCDFCoupling(net=net, mask_kind="channel",
+                                         parity=parity,
+                                         num_mixtures=num_mixtures),
+                flows.SoftClamp())
+
+    return _stacked(sub, num_layers)
 
 
 def build_edge_flow(dim: int, max_nodes: int, cond_node_dim: int,
                     edge_feat_dim: int, num_layers: int, hidden_dim: int,
                     num_mixtures: int, compute_dtype: str):
-    layers = []
-    for i in range(num_layers):
-        net = EdgeGNN(num_nodes=max_nodes, hidden_dim=hidden_dim,
-                      num_layers=2, edge_feat_dim=edge_feat_dim,
-                      compute_dtype=compute_dtype)
-        layers.append(flows.ActNorm())
-        layers.append(flows.InvertibleLinear())
-        layers.append(flows.MixtureCDFCoupling(
-            net=net, mask_kind="channel", parity=i % 2,
-            num_mixtures=num_mixtures))
-        layers.append(flows.SoftClamp())
-    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+    net = EdgeGNN(num_nodes=max_nodes, hidden_dim=hidden_dim,
+                  num_layers=2, edge_feat_dim=edge_feat_dim,
+                  compute_dtype=compute_dtype)
+
+    def sub(parity):
+        return (flows.ActNorm(), flows.InvertibleLinear(),
+                flows.MixtureCDFCoupling(net=net, mask_kind="channel",
+                                         parity=parity,
+                                         num_mixtures=num_mixtures),
+                flows.SoftClamp())
+
+    return _stacked(sub, num_layers)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,17 +52,26 @@ def coloring_validity(adj: np.ndarray, colors: np.ndarray,
 
 def build_coloring_flow(dim: int, num_layers: int = 6, hidden_dim: int = 96,
                         num_mixtures: int = 8,
-                        compute_dtype: str = "float32") -> flows.FlowModel:
+                        compute_dtype: str = "float32",
+                        scan_blocks: bool = True) -> flows.FlowModel:
+    net = RGCN(hidden_dim=hidden_dim, num_layers=2,
+               compute_dtype=compute_dtype)
+
+    def sub(parity):
+        return (flows.ActNorm(), flows.InvertibleLinear(),
+                flows.MixtureCDFCoupling(net=net, mask_kind="channel",
+                                         parity=parity,
+                                         num_mixtures=num_mixtures),
+                flows.SoftClamp())
+
+    if scan_blocks and num_layers % 2 == 0 and num_layers >= 4:
+        return flows.FlowModel(
+            layers=(flows.ScannedBlocks(block=sub(0) + sub(1),
+                                        depth=num_layers // 2),),
+            prior=flows.LogisticPrior())
     layers = []
     for i in range(num_layers):
-        net = RGCN(hidden_dim=hidden_dim, num_layers=2,
-                   compute_dtype=compute_dtype)
-        layers.append(flows.ActNorm())
-        layers.append(flows.InvertibleLinear())
-        layers.append(flows.MixtureCDFCoupling(
-            net=net, mask_kind="channel", parity=i % 2,
-            num_mixtures=num_mixtures))
-        layers.append(flows.SoftClamp())
+        layers.extend(sub(i % 2))
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 

@@ -139,17 +139,22 @@ def load_corpus(name: str, data_dir: Optional[str] = None) -> CharCorpus:
 
 def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
                   lstm_layers: int = 2, num_mixtures: int = 16,
-                  compute_dtype: str = "bfloat16") -> flows.FlowModel:
+                  compute_dtype: str = "bfloat16",
+                  scan_blocks: bool = True) -> flows.FlowModel:
+    block = (flows.ActNorm(), flows.InvertibleLinear(),
+             flows.AutoregressiveMixtureCDF(
+                 net=networks.CausalLSTM(hidden_dim=hidden_dim,
+                                         num_layers=lstm_layers,
+                                         compute_dtype=compute_dtype),
+                 num_mixtures=num_mixtures),
+             flows.SoftClamp())
+    if scan_blocks and num_layers > 1:
+        return flows.FlowModel(
+            layers=(flows.ScannedBlocks(block=block, depth=num_layers),),
+            prior=flows.LogisticPrior())
     layers = []
     for _ in range(num_layers):
-        layers.append(flows.ActNorm())
-        layers.append(flows.InvertibleLinear())
-        layers.append(flows.AutoregressiveMixtureCDF(
-            net=networks.CausalLSTM(hidden_dim=hidden_dim,
-                                    num_layers=lstm_layers,
-                                    compute_dtype=compute_dtype),
-            num_mixtures=num_mixtures))
-        layers.append(flows.SoftClamp())
+        layers.extend(block)
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 

@@ -30,18 +30,32 @@ from categoricalnf_tpu.training.task import TaskTemplate
 
 def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
                    num_heads: int = 4, num_mixtures: int = 8,
-                   compute_dtype: str = "float32") -> flows.FlowModel:
-    """Coupling stack with permutation-equivariant transformer nets."""
+                   compute_dtype: str = "float32",
+                   scan_blocks: bool = True) -> flows.FlowModel:
+    """Coupling stack with permutation-equivariant transformer nets.
+
+    With ``scan_blocks`` the repeated two-parity block runs under
+    ``lax.scan`` (flows.ScannedBlocks) — ~N× less compile work, identical
+    semantics.
+    """
     net = networks.SetTransformer(hidden_dim=hidden_dim, num_heads=num_heads,
                                   num_layers=2, compute_dtype=compute_dtype)
+
+    def sub(parity):
+        return (flows.ActNorm(), flows.InvertibleLinear(),
+                flows.MixtureCDFCoupling(net=net, mask_kind="channel",
+                                         parity=parity,
+                                         num_mixtures=num_mixtures),
+                flows.SoftClamp())
+
+    if scan_blocks and num_layers % 2 == 0 and num_layers >= 4:
+        block = sub(0) + sub(1)
+        return flows.FlowModel(
+            layers=(flows.ScannedBlocks(block=block, depth=num_layers // 2),),
+            prior=flows.LogisticPrior())
     layers = []
     for i in range(num_layers):
-        layers.append(flows.ActNorm())
-        layers.append(flows.InvertibleLinear())
-        layers.append(flows.MixtureCDFCoupling(
-            net=net, mask_kind="channel", parity=i % 2,
-            num_mixtures=num_mixtures))
-        layers.append(flows.SoftClamp())
+        layers.extend(sub(i % 2))
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 
