@@ -67,9 +67,16 @@ class InvertibleLinear(Transform):
         d = params["log_s"].shape[0]
         eye = jnp.eye(d, dtype=jnp.float32)
         l = jnp.tril(params["lower"], k=-1) + eye
+        # perm and sign_s are FIXED buffers living in the params PyTree:
+        # stop_gradient keeps the optimizer from training them into
+        # arbitrary matrices whose determinant the ldj formula does not
+        # account for (that exploit produced claimed-vs-true logdet gaps
+        # of ~15 nats/layer and ELBO > 0).
+        perm = jax.lax.stop_gradient(params["perm"])
+        sign_s = jax.lax.stop_gradient(params["sign_s"])
         u = jnp.triu(params["upper"], k=1) + jnp.diag(
-            params["sign_s"] * jnp.exp(self._ls(params)))
-        return params["perm"] @ l @ u
+            sign_s * jnp.exp(self._ls(params)))
+        return perm @ l @ u
 
     def forward(self, params, z, ldj, *, cond=None, mask=None, rng=None):
         w = self._weight(params)

@@ -72,6 +72,37 @@ def test_invertible_linear_ldj_is_logdet(rng, z):
                                atol=1e-5)
 
 
+def test_invertible_linear_buffers_get_no_gradient(rng, z):
+    """perm / sign_s are fixed buffers: training them mines free logdet
+    (regression: ELBO > 0 exploit via trained 'permutation' matrices)."""
+    layer = flows.InvertibleLinear()
+    params = layer.init(rng, D)
+
+    def loss(p):
+        out, ldj = layer.forward(p, z, jnp.zeros(B, jnp.float32))
+        return jnp.sum(out ** 2) + jnp.sum(ldj)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["perm"]).max()) == 0.0
+    assert float(jnp.abs(g["sign_s"]).max()) == 0.0
+    # trainable parts still get gradients
+    assert float(jnp.abs(g["log_s"]).max()) > 0.0
+
+
+def test_invertible_linear_ldj_true_logdet_after_perturbation(rng, z):
+    """Even if buffers are perturbed (e.g. by a bad optimizer state), the
+    claimed ldj must track slogdet of the materialised weight."""
+    layer = flows.InvertibleLinear()
+    params = dict(layer.init(rng, D))
+    params["log_s"] = params["log_s"] + 0.4
+    params["lower"] = params["lower"] + 0.1
+    w = layer._weight(params)
+    _, logdet = np.linalg.slogdet(np.asarray(w))
+    _, ldj = layer.forward(params, z, jnp.zeros(B, jnp.float32))
+    np.testing.assert_allclose(np.asarray(ldj), logdet * T, rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_reverse_channels(rng, z):
     _roundtrip(flows.ReverseChannels(), rng, z)
 
