@@ -185,6 +185,16 @@ class Trainer:
         opt = self.task.analytic_optimum_bpd()
         if opt is not None:
             out["bpd_gap_to_optimum"] = bpd - opt
+            if bpd < opt - 0.1:
+                # an IS likelihood bound below the analytic optimum (or
+                # below 0) is mathematically impossible — it certifies the
+                # flow is exploiting a numerics gap (see flows/softclamp.py)
+                print(f"WARNING: eval bpd {bpd:.3f} below analytic optimum "
+                      f"{opt:.3f} — numerically invalid model, investigate",
+                      flush=True)
+        if bpd < 0:
+            print(f"WARNING: negative eval bpd {bpd:.3f} — numerically "
+                  "invalid model, investigate", flush=True)
         return out
 
     def _shard(self, batch: dict):
