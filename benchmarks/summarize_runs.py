@@ -1,0 +1,51 @@
+"""Summarise runs/*/metrics.jsonl into a RESULTS.md table."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+
+def load_run(path):
+    recs = []
+    mp = os.path.join(path, "metrics.jsonl")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        for line in f:
+            recs.append(json.loads(line))
+    return recs
+
+
+def main(runs_dir="runs"):
+    rows = []
+    for name in sorted(os.listdir(runs_dir)):
+        recs = load_run(os.path.join(runs_dir, name))
+        if not recs:
+            continue
+        vals = [r for r in recs if r["prefix"] == "val"]
+        finals = [r for r in recs if r["prefix"] == "final"]
+        trains = [r for r in recs if r["prefix"] == "train"]
+        best = min((v["bpd"] for v in vals), default=float("nan"))
+        gap = min((v.get("bpd_gap_to_optimum", float("nan")) for v in vals),
+                  default=float("nan"))
+        sps = (sorted(t.get("steps_per_s", 0) for t in trains)[len(trains) // 2]
+               if trains else float("nan"))
+        extra = {}
+        for f in finals:
+            for k in ("coloring_validity", "validity", "validity_corrected",
+                      "uniqueness", "novelty"):
+                if k in f:
+                    extra[k] = f[k]
+        rows.append((name, best, gap, sps, extra))
+    print(f"| run | best val bpd | gap to optimum | steps/s | sample metrics |")
+    print(f"|---|---|---|---|---|")
+    for name, best, gap, sps, extra in rows:
+        ex = ", ".join(f"{k}={v:.3f}" for k, v in extra.items()) or "—"
+        print(f"| {name} | {best:.4f} | {gap:+.4f} | {sps:.0f} | {ex} |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "runs")

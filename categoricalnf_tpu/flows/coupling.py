@@ -22,7 +22,7 @@ break mixture-component symmetry.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

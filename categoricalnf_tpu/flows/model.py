@@ -13,7 +13,7 @@ pure function of (params, inputs) — jit/pjit/grad compose directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

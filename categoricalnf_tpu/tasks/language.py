@@ -205,6 +205,11 @@ class LanguageModelingTask(TaskTemplate):
         return [{"x": self._chunks("valid", rng, self.batch_size)}
                 for _ in range(self.eval_batches_count)]
 
+    def test_batches(self) -> list[dict]:
+        rng = np.random.default_rng(101)
+        return [{"x": self._chunks("test", rng, self.batch_size)}
+                for _ in range(self.eval_batches_count)]
+
     def analytic_optimum_bpd(self) -> Optional[float]:
         return self.corpus.analytic_bpc
 
@@ -212,3 +217,9 @@ class LanguageModelingTask(TaskTemplate):
         x = self.model.sample(params, rng, batch=num, num_pos=self.seq_len)
         x = np.asarray(x)
         return ["".join(self.corpus.vocab[i] for i in row) for row in x]
+
+    def sample_artifacts(self, params, rng: jax.Array, out_dir: str) -> None:
+        texts = self.sample_text(params, rng, num=8)
+        with open(os.path.join(out_dir, "samples.txt"), "w") as f:
+            for t in texts:
+                f.write(t + "\n---\n")

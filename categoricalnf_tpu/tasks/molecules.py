@@ -169,3 +169,26 @@ class MoleculeTask(TaskTemplate):
                 "uniqueness": raw["uniqueness"],
                 "novelty": raw.get("novelty", 0.0),
                 "validity_corrected": fixed["validity"]}
+
+    def sample_artifacts(self, params, rng, out_dir: str) -> None:
+        """Dump sampled molecules as JSON (atoms, bonds, validity)."""
+        import json
+        import os
+        np_rng = np.random.default_rng(0)
+        node_mask = self.sample_node_mask(np_rng, 32)
+        atoms, edges = self.model.sample(params, rng,
+                                         jnp.asarray(node_mask))
+        atoms, edges = np.asarray(atoms), np.asarray(edges)
+        valid = chem.molecule_validity(atoms, edges, node_mask)
+        out = []
+        for b in range(32):
+            k = int(node_mask[b].sum())
+            adj = chem.edges_to_dense(edges[b], self.max_nodes)[:k, :k]
+            bonds = [[int(i), int(j), int(adj[i, j])]
+                     for i in range(k) for j in range(i + 1, k)
+                     if adj[i, j] > 0]
+            out.append({"atoms": [chem.ATOM_TYPES[a]
+                                  for a in atoms[b, :k]],
+                        "bonds": bonds, "valid": bool(valid[b])})
+        with open(os.path.join(out_dir, "sampled_molecules.json"), "w") as f:
+            json.dump(out, f, indent=1)

@@ -104,6 +104,14 @@ class SetShufflingTask(TaskTemplate):
     def analytic_optimum_bpd(self) -> float:
         return math.log2(math.factorial(self.set_size)) / self.set_size
 
+    def sample_metrics(self, params, rng) -> dict:
+        """Fraction of sampled sequences that are exact permutations."""
+        x = np.asarray(self.model.sample(params, rng, batch=1024,
+                                         num_pos=self.set_size))
+        is_perm = (np.sort(x, axis=1)
+                   == np.arange(self.set_size)[None, :]).all(axis=1)
+        return {"permutation_validity": float(is_perm.mean())}
+
 
 @lru_cache(maxsize=None)
 def _count_sum_sequences(length: int, num_cat: int, target: int) -> int:
@@ -180,3 +188,10 @@ class SetSummationTask(TaskTemplate):
         cnt = _count_sum_sequences(self.set_size, self.num_categories,
                                    self.target_sum)
         return math.log2(cnt) / self.set_size
+
+    def sample_metrics(self, params, rng) -> dict:
+        """Fraction of sampled sequences hitting the target sum."""
+        x = np.asarray(self.model.sample(params, rng, batch=1024,
+                                         num_pos=self.set_size))
+        ok = (x + 1).sum(axis=1) == self.target_sum
+        return {"sum_validity": float(ok.mean())}

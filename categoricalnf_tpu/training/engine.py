@@ -169,9 +169,32 @@ class Trainer:
         final = {"best_bpd": best_bpd}
         final.update(self.task.sample_metrics(
             state.params, jax.random.fold_in(rng, 777)))
+        if cfg.out_dir:
+            self.task.sample_artifacts(state.params,
+                                       jax.random.fold_in(rng, 778),
+                                       cfg.out_dir)
         self.logger.log(cfg.num_steps, final, "final")
         self._final_state = state
         return final
+
+    def test(self, params, num_samples: Optional[int] = None,
+             seed: int = 7) -> dict:
+        """Test-split evaluation with a large IS-sample count (reference
+        parity: ``TaskTemplate.test()``, SURVEY.md §3.2)."""
+        num_samples = num_samples or self.config.final_eval_samples
+        rng = jax.random.PRNGKey(seed)
+        bpds = []
+        for i, batch in enumerate(self.task.test_batches()):
+            b = self._shard(batch)
+            bpd = self._eval_step(params, b, jax.random.fold_in(rng, i),
+                                  num_samples)
+            bpds.append(np.asarray(bpd))
+        out = {"test_bpd": float(np.mean(np.concatenate(bpds))),
+               "num_importance_samples": num_samples}
+        opt = self.task.analytic_optimum_bpd()
+        if opt is not None:
+            out["test_gap_to_optimum"] = out["test_bpd"] - opt
+        return out
 
     def evaluate(self, params, num_samples: int, rng) -> dict:
         bpds, ns = [], []

@@ -58,5 +58,13 @@ class TaskTemplate:
         """Task-specific sample-quality metrics (validity etc.)."""
         return {}
 
+    def sample_artifacts(self, params, rng: jax.Array, out_dir: str) -> None:
+        """Dump model samples to ``out_dir`` (reference parity: sampled
+        text / SMILES files, SURVEY.md §5 observability).  Optional."""
+
+    def test_batches(self) -> list[dict]:
+        """Held-out test split; defaults to the validation batches."""
+        return self.eval_batches()
+
     def analytic_optimum_bpd(self) -> Optional[float]:
         return None
