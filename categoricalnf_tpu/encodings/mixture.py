@@ -38,15 +38,25 @@ class MixtureEncoding(Encoding):
     # stop being densities, and the ELBO diverges past 0 (negative "bpd").
     min_log_sigma: float = -4.6  # sigma >= 0.01
     max_log_sigma: float = 2.3
+    # "bayes" (parameter-free posterior decoder, the paper default) or a
+    # learned decoder ablation: "linear" / "mlp" (SURVEY.md C13).
+    decoder: str = "bayes"
+
+    def _learned_decoder(self):
+        from categoricalnf_tpu.encodings.decoders import create_decoder
+        return create_decoder(self.decoder, self.num_categories, self.dim)
 
     def init(self, rng: jax.Array):
-        k_mu, _ = jax.random.split(rng)
+        k_mu, k_dec = jax.random.split(rng)
         K, D = self.num_categories, self.dim
-        return {
+        params = {
             "means": jax.random.normal(k_mu, (K, D)) * self.init_scale,
             "log_scales": jnp.full((K, D), self.init_log_sigma, jnp.float32),
             "prior_logits": jnp.zeros((K,), jnp.float32),
         }
+        if self.decoder != "bayes":
+            params["decoder"] = self._learned_decoder().init(k_dec)
+        return params
 
     def _ls(self, raw):
         return jnp.clip(raw, self.min_log_sigma, self.max_log_sigma)
@@ -67,6 +77,9 @@ class MixtureEncoding(Encoding):
         return comp + log_prior
 
     def log_decoder(self, params, x, z, *, mask=None):
+        if self.decoder != "bayes":
+            return self._learned_decoder().log_prob(params["decoder"], x, z,
+                                                    mask=mask)
         log_joint = self._log_joint_all(params, z)
         log_norm = jax.scipy.special.logsumexp(log_joint, axis=-1)
         log_post = jnp.take_along_axis(
@@ -74,6 +87,8 @@ class MixtureEncoding(Encoding):
         return sum_ldj(log_post, mask)
 
     def decode(self, params, z, *, mask=None):
+        if self.decoder != "bayes":
+            return self._learned_decoder().decode(params["decoder"], z)
         return jnp.argmax(self._log_joint_all(params, z), axis=-1)
 
     def posterior(self, params, z):

@@ -91,6 +91,18 @@ def test_vardeq_encoding(rng):
     assert np.all(np.isfinite(np.asarray(log_q)))
 
 
+def test_mixture_encoding_with_learned_decoder(rng):
+    for dec in ("linear", "mlp"):
+        enc = encodings.MixtureEncoding(num_categories=K, dim=D, decoder=dec)
+        params = enc.init(rng)
+        assert "decoder" in params
+        x = _x(rng)
+        z, _ = enc.encode(params, x, jax.random.fold_in(rng, 2))
+        ld = enc.log_decoder(params, x, z)
+        assert ld.shape == (B,) and np.all(np.asarray(ld) < 0)
+        assert enc.decode(params, z).shape == (B, T)
+
+
 def test_learned_decoders(rng):
     for name in ("linear", "mlp"):
         dec = encodings.create_decoder(name, K, D)
