@@ -1,0 +1,68 @@
+"""LM throughput benchmark: train tokens/s, IW-eval tokens/s, sampling
+chars/s (the sequential scan + mixture-CDF inverse path)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def timeit(fn, iters=10):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from categoricalnf_tpu.tasks import LanguageModelingTask
+    from categoricalnf_tpu.training.state import OptimizerConfig, TrainState
+    from categoricalnf_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+
+    B, T = 128, 256
+    task = LanguageModelingTask(corpus_name="synthetic", seq_len=T,
+                                batch_size=B, encoding_dim=3, num_layers=2,
+                                hidden_dim=512, lstm_layers=2,
+                                num_mixtures=16, compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    params = task.init_params(rng)
+    tx = OptimizerConfig().build()
+    state = TrainState.create(params, tx)
+    batch = {"x": jnp.asarray(next(task.train_batches(
+        np.random.default_rng(0)))["x"])}
+
+    def train_step(state, batch, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: task.loss(p, batch, rng, 1.0))(state.params)
+        u, opt_state = tx.update(grads, state.opt_state, state.params)
+        return TrainState(step=state.step + 1,
+                          params=optax.apply_updates(state.params, u),
+                          opt_state=opt_state), loss
+
+    step = jax.jit(train_step)
+    t = timeit(lambda: step(state, batch, rng)[1], iters=20)
+    print(f"train: {B * T / t / 1e6:8.2f} M tokens/s  ({t*1e3:.2f} ms/step)")
+
+    eval_fn = jax.jit(lambda p, b, r: task.eval_step(p, b, r, 8))
+    t = timeit(lambda: eval_fn(state.params, batch, rng), iters=5)
+    print(f"eval(IW8): {B * T / t / 1e6:6.2f} M tokens/s ({t*1e3:.2f} ms)")
+
+    sample_fn = jax.jit(lambda p, r: task.model.sample(p, r, batch=B,
+                                                       num_pos=T))
+    t = timeit(lambda: sample_fn(state.params, rng), iters=3)
+    print(f"sample: {B * T / t / 1e3:8.1f} K chars/s ({t*1e3:.1f} ms/batch)")
+
+
+if __name__ == "__main__":
+    main()
