@@ -221,5 +221,6 @@ class Trainer:
         return out
 
     def _shard(self, batch: dict):
-        return mesh_lib.shard_batch(self.mesh, {
-            k: jnp.asarray(v) for k, v in batch.items()})
+        # tree-map: batches may contain nested conds (e.g. {"adj": ...})
+        return mesh_lib.shard_batch(self.mesh,
+                                    jax.tree.map(jnp.asarray, batch))
