@@ -41,18 +41,20 @@ def molecule_validity(atoms: np.ndarray, edges: np.ndarray,
     """Per-molecule validity for a batch.
 
     atoms [B,N] atom-type ids; edges [B,E] bond orders (0=no bond);
-    node_mask [B,N].  Valid iff every atom's total bond order is within
-    its max valence, every atom has >= 1 bond (no fragments), and the
-    heavy-atom graph is connected.
+    node_mask [B,N] (any boolean pattern, not necessarily a prefix).
+    Valid iff every atom's total bond order is within its max valence,
+    every atom has >= 1 bond (no fragments), and the heavy-atom graph is
+    connected.
     """
     B, N = atoms.shape
     out = np.zeros(B, bool)
     for b in range(B):
-        k = int(node_mask[b].sum())
+        idx = np.nonzero(node_mask[b] > 0)[0]
+        k = len(idx)
         if k == 0:
             continue
-        adj = edges_to_dense(edges[b], N)[:k, :k]
-        a = atoms[b, :k]
+        adj = edges_to_dense(edges[b], N)[np.ix_(idx, idx)]
+        a = atoms[b, idx]
         val = adj.sum(axis=1)
         if np.any(val > MAX_VALENCE_ARR[a]):
             continue
@@ -79,11 +81,18 @@ def _connected(adj: np.ndarray) -> bool:
 
 
 def valency_correction(atoms: np.ndarray, edges: np.ndarray,
-                       node_mask: np.ndarray) -> np.ndarray:
+                       node_mask: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Reference-style post-processing: fix valence violations, then keep
-    the largest connected component.  Returns corrected edges [B, E]."""
+    the largest connected component.
+
+    Returns (corrected edges [B, E], corrected node_mask [B, N]) — atoms
+    outside the surviving component are removed from the molecule, exactly
+    as the reference's RDKit-based correction yields a smaller molecule.
+    """
     B, N = atoms.shape
     out = edges.copy()
+    new_mask = node_mask.copy().astype(np.float32)
     for b in range(B):
         k = int(node_mask[b].sum())
         if k == 0:
@@ -97,16 +106,16 @@ def valency_correction(atoms: np.ndarray, edges: np.ndarray,
                 j = int(np.argmax(adj[i, :k]))
                 adj[i, j] -= 1
                 adj[j, i] -= 1
-        # 2) keep largest connected component
+        # 2) keep largest connected component, dropping the rest
         comp = _components(adj[:k, :k])
-        if comp.max(initial=0) > 0:
-            sizes = np.bincount(comp)
-            keep = comp == np.argmax(sizes)
-            drop = ~keep
-            adj[np.ix_(np.arange(k)[drop], np.arange(k))] = 0
-            adj[np.ix_(np.arange(k), np.arange(k)[drop])] = 0
+        sizes = np.bincount(comp)
+        keep = comp == np.argmax(sizes)
+        drop = ~keep
+        adj[np.ix_(np.arange(k)[drop], np.arange(k))] = 0
+        adj[np.ix_(np.arange(k), np.arange(k)[drop])] = 0
+        new_mask[b, :k] = keep.astype(np.float32)
         out[b] = dense_to_edges(adj.astype(edges.dtype))
-    return out
+    return out, new_mask
 
 
 def _components(adj: np.ndarray) -> np.ndarray:
@@ -132,12 +141,13 @@ def wl_hash(atoms: np.ndarray, edges: np.ndarray, node_mask: np.ndarray,
             iters: int = 3) -> str:
     """Weisfeiler-Lehman hash of one molecule — canonical up to WL
     indistinguishability; used for uniqueness/novelty counting."""
-    k = int(node_mask.sum())
+    idx = np.nonzero(np.asarray(node_mask) > 0)[0]
+    k = len(idx)
     if k == 0:
         return "empty"
     N = atoms.shape[0]
-    adj = edges_to_dense(edges, N)[:k, :k]
-    labels = [f"a{t}" for t in atoms[:k]]
+    adj = edges_to_dense(edges, N)[np.ix_(idx, idx)]
+    labels = [f"a{t}" for t in atoms[idx]]
     for _ in range(iters):
         new = []
         for i in range(k):
@@ -156,7 +166,7 @@ def sample_quality(atoms: np.ndarray, edges: np.ndarray,
                    correct: bool = False) -> dict:
     """validity / uniqueness / novelty for a batch of sampled molecules."""
     if correct:
-        edges = valency_correction(atoms, edges, node_mask)
+        edges, node_mask = valency_correction(atoms, edges, node_mask)
     valid = molecule_validity(atoms, edges, node_mask)
     hashes = [wl_hash(atoms[b], edges[b], node_mask[b])
               for b in range(atoms.shape[0]) if valid[b]]

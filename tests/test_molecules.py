@@ -48,8 +48,8 @@ def test_valency_correction_fixes_violations():
     edges[0, 2] = 2
     mask = np.ones((1, N), np.float32)
     assert not chem.molecule_validity(atoms, edges, mask)[0]
-    fixed = chem.valency_correction(atoms, edges, mask)
-    assert chem.molecule_validity(atoms, fixed, mask)[0]
+    fixed, fixed_mask = chem.valency_correction(atoms, edges, mask)
+    assert chem.molecule_validity(atoms, fixed, fixed_mask)[0]
 
 
 def test_wl_hash_invariance():
