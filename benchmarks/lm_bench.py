@@ -15,11 +15,13 @@ import optax
 
 
 def timeit(fn, iters=10):
-    out = fn()
+    """fn(i) -> output; inputs MUST vary with i (identical-arg replays can
+    be deduplicated by the runtime and report impossible speeds)."""
+    out = fn(0)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
+    for i in range(iters):
+        out = fn(1 + i)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -50,17 +52,29 @@ def main():
                           params=optax.apply_updates(state.params, u),
                           opt_state=opt_state), loss
 
-    step = jax.jit(train_step)
-    t = timeit(lambda: step(state, batch, rng)[1], iters=20)
+    # Chained measurement: thread the state through N steps (like the real
+    # trainer) so no runtime trick can skip or overlap executions, and take
+    # wall clock over the chain.
+    step = jax.jit(train_step, donate_argnums=(0,))
+    state, loss = step(state, batch, rng)
+    loss.block_until_ready()
+    n = 30
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, batch, jax.random.fold_in(rng, i))
+    loss.block_until_ready()
+    t = (time.perf_counter() - t0) / n
     print(f"train: {B * T / t / 1e6:8.2f} M tokens/s  ({t*1e3:.2f} ms/step)")
 
     eval_fn = jax.jit(lambda p, b, r: task.eval_step(p, b, r, 8))
-    t = timeit(lambda: eval_fn(state.params, batch, rng), iters=5)
+    t = timeit(lambda i: eval_fn(state.params, batch,
+                                 jax.random.fold_in(rng, i)), iters=5)
     print(f"eval(IW8): {B * T / t / 1e6:6.2f} M tokens/s ({t*1e3:.2f} ms)")
 
     sample_fn = jax.jit(lambda p, r: task.model.sample(p, r, batch=B,
                                                        num_pos=T))
-    t = timeit(lambda: sample_fn(state.params, rng), iters=3)
+    t = timeit(lambda i: sample_fn(state.params,
+                                   jax.random.fold_in(rng, i)), iters=3)
     print(f"sample: {B * T / t / 1e3:8.1f} K chars/s ({t*1e3:.1f} ms/batch)")
 
 
