@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from categoricalnf_tpu.encodings.base import Encoding
-from categoricalnf_tpu.flows.base import sum_ldj
 from categoricalnf_tpu.flows.cond_affine import ConditionalAffine
 from categoricalnf_tpu.flows.coupling import MixtureCDFCoupling
 from categoricalnf_tpu.flows.distributions import LogisticPrior

@@ -16,7 +16,6 @@ per-position log-density comes back exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

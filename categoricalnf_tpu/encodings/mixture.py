@@ -16,7 +16,6 @@ jit it fuses into the surrounding flow computation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

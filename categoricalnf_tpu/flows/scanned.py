@@ -15,8 +15,6 @@ stacked PyTrees per block.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

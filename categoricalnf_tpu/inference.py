@@ -10,8 +10,7 @@ checkpoint, and returns a handle with jit-compiled ``sample`` /
 from __future__ import annotations
 
 import dataclasses
-import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -24,7 +24,6 @@ over node count (owned by the task; SURVEY.md §7 hard part 3).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

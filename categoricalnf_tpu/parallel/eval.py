@@ -8,8 +8,6 @@ also serves the scaling-efficiency report (samples/s at 1 chip vs N).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -19,7 +19,6 @@ import math
 from functools import lru_cache
 from typing import Iterator
 
-import jax
 import numpy as np
 
 from categoricalnf_tpu import encodings, flows, networks

@@ -8,10 +8,9 @@ sees this interface.  Batches are dicts of numpy/JAX arrays with keys
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from categoricalnf_tpu.models.categorical_flow import CategoricalFlow
