@@ -98,6 +98,21 @@ def pair_indices(n: int):
     return jnp.asarray(iu[0], jnp.int32), jnp.asarray(iu[1], jnp.int32)
 
 
+def incidence_matrix(n: int) -> Array:
+    """Static [E, N] 0/1 incidence: row e has ones at its two endpoints.
+
+    Edge-to-node aggregation becomes ``einsum('en,beh->bnh', Inc, msgs)``
+    — an MXU matmul instead of a scatter-add (the TPU-native pattern for
+    small dense graphs)."""
+    import numpy as np
+    iu = np.triu_indices(n, k=1)
+    E = len(iu[0])
+    inc = np.zeros((E, n), np.float32)
+    inc[np.arange(E), iu[0]] = 1.0
+    inc[np.arange(E), iu[1]] = 1.0
+    return jnp.asarray(inc)
+
+
 @dataclasses.dataclass(frozen=True)
 class EdgeGNN:
     """Joint node+edge message passing; input/outputs are EDGE features.
@@ -164,11 +179,13 @@ class EdgeGNN:
             ends = jnp.concatenate([hv_n[:, ii], hv_n[:, jj]], axis=-1)
             he = he + jax.nn.gelu(dense(bp["v2e"], ends, self._dtype)
                                   + he_n) * emask[..., None]
-            # node update: aggregate incident edge messages (dense scatter)
+            # node update: incidence-matmul aggregation (MXU, no scatter)
             he_m = dense(bp["e2v"], layer_norm(he), self._dtype)
             he_m = he_m * emask[..., None]
-            agg = (jnp.zeros((B, n, he_m.shape[-1]), jnp.float32)
-                   .at[:, ii].add(he_m).at[:, jj].add(he_m))
+            inc = incidence_matrix(n)
+            agg = jnp.einsum("en,beh->bnh", inc.astype(self._dtype),
+                             he_m.astype(self._dtype),
+                             preferred_element_type=jnp.float32)
             deg = jnp.maximum(vmask.sum(-1, keepdims=True) - 1.0, 1.0)
             hv = hv + jax.nn.gelu(agg / deg[..., None])
             hv = hv + dense(bp["v_mlp"], jax.nn.gelu(layer_norm(hv)),
