@@ -57,6 +57,19 @@ def test_checkpoint_resume(tmp_path):
     assert int(t2._final_state.step) == 12
 
 
+def test_trainer_test_split_eval(tmp_path):
+    task = _tiny_task()
+    cfg = TrainConfig(num_steps=5, eval_every=5, eval_samples=1,
+                      final_eval_samples=4, log_every=100,
+                      out_dir=str(tmp_path / "run"))
+    tr = Trainer(task, cfg)
+    tr.train(resume=False)
+    res = tr.test(tr._final_state.params)
+    assert np.isfinite(res["test_bpd"]) and res["test_bpd"] > 0
+    assert res["num_importance_samples"] == 4
+    assert "test_gap_to_optimum" in res
+
+
 def test_beta_schedule_values():
     s = ScheduleSpec(kind="sigmoid", start=0.0, end=1.0, center=100,
                      rate=0.1).build()
