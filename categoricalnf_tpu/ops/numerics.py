@@ -24,12 +24,14 @@ Array = jax.Array
 # Network outputs parameterising log-scales are clamped to this range before
 # exponentiation.  The LOWER bound is a correctness constraint, not just an
 # overflow guard: with activations bounded to |x| <= ~30 (flows.SoftClamp),
-# fp32 resolves x to ~4e-6, and a component of scale >= exp(-3) ≈ 0.05 keeps
-# z = (x-mu)/s resolvable to ~1e-4 — the computed CDF then really is the
-# CDF of the computed map.  Narrower components let the optimizer mine the
-# gap between claimed ldj and the actual fp32 map (observed: bits/dim
+# fp32 resolves x to ~4e-6, and a component of scale >= exp(-5) ≈ 6.7e-3
+# keeps z = (x-mu)/s resolvable to ~5e-4 — the computed CDF then really is
+# the CDF of the computed map.  Narrower components let the optimizer mine
+# the gap between claimed ldj and the actual fp32 map (observed: bits/dim
 # → -300 with reconstruction error 1e12 before these bounds existed).
-LOG_SCALE_MIN = -3.0
+# The floor must stay BELOW the encoders' min sigma (mixture.py: 0.01) or
+# the flow cannot match posterior sharpness and underfits by whole bits.
+LOG_SCALE_MIN = -5.0
 LOG_SCALE_MAX = 7.0
 
 
