@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-1 third campaign: LM rerun with relaxed mixture-scale floor
+# (exp(-5)) + more mixtures; longer set-summation.
+set -u
+cd /root/repo
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 4000 "$@" > "/tmp/campaign3_${name}.log" 2>&1
+  echo "=== $name done (exit $?) ==="
+  tail -3 "/tmp/campaign3_${name}.log"
+}
+
+run lm_v2 python experiments/language_modeling/train.py \
+  --corpus synthetic --num_steps 30000 --eval_every 5000 --eval_samples 8 \
+  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 2 \
+  --num_mixtures 32 --lr 5e-4 --out_dir runs/lm_v2 --log_every 2000
+
+run sum_mixture_resume python experiments/set_summation/train.py \
+  --num_steps 40000 --eval_every 5000 --eval_samples 16 --batch_size 1024 \
+  --encoding mixture --out_dir runs/sum_mixture --log_every 2000 --resume
+
+echo "campaign3 complete"
