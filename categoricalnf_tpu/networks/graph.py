@@ -155,23 +155,34 @@ class EdgeGNN:
         return params
 
     def apply(self, params, x, cond=None, mask=None):
-        """x: [B, E, C_e] edge stream; returns [B, E, out_dim]."""
+        """x: [B, E, C_e] edge stream; returns [B, E, out_dim].
+
+        ``mask`` is the TRANSFORM's validity mask over edge positions and
+        MUST gate every read of ``x``: positions outside it are excluded
+        from the density, so letting their z-values influence valid
+        positions creates an unpaid noise side-channel the optimizer
+        exploits (caught by valid-submap Jacobian forensics: +44 nats of
+        fake ldj and a sign flip in the bond stage).
+        """
         B, E, _ = x.shape
         n = self.num_nodes
         ii, jj = pair_indices(n)
         node_feat = jnp.asarray(cond["node_feat"], jnp.float32)
         node_mask = cond.get("node_mask") if cond else None
 
-        x = jnp.asarray(x, jnp.float32)
+        vmask = (jnp.asarray(node_mask, jnp.float32) if node_mask is not None
+                 else jnp.ones((B, n), jnp.float32))
+        emask = vmask[:, ii] * vmask[:, jj]           # [B, E]
+        if mask is not None:
+            emask = emask * jnp.asarray(mask, jnp.float32)
+
+        x = jnp.asarray(x, jnp.float32) * emask[..., None]
         if self.edge_feat_dim:
+            # conditioning features are modeled latents — not masked
             x = jnp.concatenate(
                 [x, jnp.asarray(cond["edge_feat"], jnp.float32)], axis=-1)
         he = dense(params["embed_e"], x, self._dtype)  # [B, E, H]
         hv = dense(params["embed_v"], node_feat, self._dtype)  # [B, N, H]
-
-        vmask = (jnp.asarray(node_mask, jnp.float32) if node_mask is not None
-                 else jnp.ones((B, n), jnp.float32))
-        emask = vmask[:, ii] * vmask[:, jj]           # [B, E]
 
         for bp in params["blocks"]:
             hv_n, he_n = layer_norm(hv), layer_norm(he)
