@@ -76,6 +76,16 @@ def test_graphcnf_exist_stage_no_masked_leakage(rng):
                         e_mask, rng)
 
 
+def test_set_flow_no_masked_leakage(rng):
+    from categoricalnf_tpu.tasks.set_modeling import build_set_flow
+    flow = build_set_flow(2, num_layers=2, hidden_dim=16, num_mixtures=3,
+                          scan_blocks=False)
+    params = flow.init(rng, 2, 0)
+    mask = jnp.asarray([[1, 1, 1, 0, 0]], jnp.float32)
+    z = jax.random.normal(rng, (1, 5, 2))
+    _valid_submap_check(flow, params, z, None, mask, rng)
+
+
 def test_coloring_flow_no_masked_leakage(rng):
     flow = build_coloring_flow(2, num_layers=2, hidden_dim=16,
                                num_mixtures=3, scan_blocks=False)
