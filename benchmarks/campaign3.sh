@@ -21,4 +21,10 @@ run sum_mixture_resume python experiments/set_summation/train.py \
   --num_steps 40000 --eval_every 5000 --eval_samples 16 --batch_size 1024 \
   --encoding mixture --out_dir runs/sum_mixture --log_every 2000 --resume
 
+# retrain molecules with the EdgeGNN mask-leak fix
+run molecules_v2 python experiments/molecule_generation/train.py \
+  --num_steps 25000 --eval_every 5000 --eval_samples 4 --batch_size 64 \
+  --max_nodes 24 --hidden_dim 128 --out_dir runs/molecules_v2 \
+  --log_every 2000
+
 echo "campaign3 complete"
