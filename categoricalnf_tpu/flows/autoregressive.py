@@ -27,11 +27,28 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class AutoregressiveMixtureCDF(Transform):
-    """z_t -> logit(MixLogCDF(z_t)) * e^a + t, params from causal net."""
+    """z_t -> logit(MixLogCDF(z_t)) * e^a + t, params from causal net.
 
-    net: Any = None  # must expose apply(shift=True), init_carry, step
+    With ``parity=None`` all channels at step t transform conditioned only
+    on steps < t (channels conditionally independent within a step).  With
+    an integer parity, the layer is ALSO a coupling in channels (the
+    reference's LM design, SURVEY.md C5+C15): the masked-in half of z_t
+    stays identity and joins the LSTM state as extra conditioning for the
+    transformed half — within-timestep joint structure at no cost to the
+    parallel density pass, and the sequential inverse still works because
+    the masked-in channels of z_t equal those of y_t.
+    """
+
+    net: Any = None  # must expose apply(shift=True, extra=), init_carry, step
     num_mixtures: int = 8
     scale_cap: float = 3.0
+    parity: int | None = None
+
+    def _chan_mask(self, event_dim: int):
+        if self.parity is None:
+            return jnp.zeros((event_dim,), jnp.float32)
+        from categoricalnf_tpu.flows.coupling import make_channel_mask
+        return make_channel_mask(event_dim, self.parity)
 
     def init(self, rng, event_dim: int, cond_dim: int = 0):
         k_net, k_mu = jax.random.split(rng)
@@ -53,30 +70,37 @@ class AutoregressiveMixtureCDF(Transform):
 
     def forward(self, params, z, ldj, *, cond=None, mask=None, rng=None):
         z32 = jnp.asarray(z, jnp.float32)
+        m = self._chan_mask(z32.shape[-1])
+        extra = z32 * m if self.parity is not None else None
         raw = self.net.apply(params["net"], z32, cond=cond, mask=mask,
-                             shift=True)
+                             shift=True, extra=extra)
         t, a, pi, mu, ls = self._split_raw(params, raw, z32.shape)
         y, elem_ldj = nm.mixture_logit_cdf_and_ldj(z32, pi, mu, ls)
-        out = y * jnp.exp(a) + t
-        return out, ldj + sum_ldj(elem_ldj + a, mask)
+        out = (1.0 - m) * (y * jnp.exp(a) + t) + m * z32
+        return out, ldj + sum_ldj((elem_ldj + a) * (1.0 - m), mask)
 
     def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
         B, T, D = z.shape
         z32 = jnp.asarray(z, jnp.float32)
+        m = self._chan_mask(D)
         cond_seq = (None if cond is None
                     else jnp.broadcast_to(cond, (B, T, cond.shape[-1])))
 
         def step(carry, inputs):
             net_carry, x_prev = carry
             y_t, cond_t = inputs
+            # masked-in channels pass through unchanged: z_t*m == y_t*m
+            extra_t = y_t * m if self.parity is not None else None
             net_carry, raw = self.net.step(params["net"], net_carry, x_prev,
-                                           cond_t)
+                                           cond_t, extra_t)
             from categoricalnf_tpu.ops.dispatch import mixture_inverse
             t, a, pi, mu, ls = self._split_raw(params, raw, (B, D))
             u = (y_t - t) * jnp.exp(-a)
-            x_t = mixture_inverse(u, pi, mu, ls)
-            _, elem_ldj = nm.mixture_logit_cdf_and_ldj(x_t, pi, mu, ls)
-            return (net_carry, x_t), (x_t, (elem_ldj + a).sum(axis=-1))
+            x_inv = mixture_inverse(u, pi, mu, ls)
+            x_t = (1.0 - m) * x_inv + m * y_t
+            _, elem_ldj = nm.mixture_logit_cdf_and_ldj(x_inv, pi, mu, ls)
+            per = ((elem_ldj + a) * (1.0 - m)).sum(axis=-1)
+            return (net_carry, x_t), (x_t, per)
 
         init = (self.net.init_carry(B), jnp.zeros((B, D), jnp.float32))
         ys = z32.transpose(1, 0, 2)

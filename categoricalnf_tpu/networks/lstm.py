@@ -29,6 +29,10 @@ Array = jax.Array
 class CausalLSTM:
     hidden_dim: int = 256
     num_layers: int = 1
+    # extra per-step features fed ONLY to the output head (used by the
+    # coupling-in-channels AR transform: the masked-in channels of the
+    # CURRENT timestep join the recurrent state from PAST timesteps).
+    extra_dim: int = 0
     compute_dtype: str = "bfloat16"
 
     @property
@@ -48,7 +52,8 @@ class CausalLSTM:
             d = self.hidden_dim
         return {
             "cells": cells,
-            "out": dense_init(ks[-1], self.hidden_dim, out_dim, zero=True),
+            "out": dense_init(ks[-1], self.hidden_dim + self.extra_dim,
+                              out_dim, zero=True),
         }
 
     def init_carry(self, batch: int):
@@ -64,13 +69,15 @@ class CausalLSTM:
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    def step(self, params, carry, x_t: Array, cond_t=None):
+    def step(self, params, carry, x_t: Array, cond_t=None, extra_t=None):
         """One timestep: x_t [B, in] -> (new_carry, out [B, out_dim])."""
         h = concat_cond(x_t, cond_t)
         new_carry = []
         for cp, c in zip(params["cells"], carry):
             c2, h = self._cell(cp, c, h)
             new_carry.append(c2)
+        if extra_t is not None:
+            h = jnp.concatenate([h, jnp.asarray(extra_t, h.dtype)], axis=-1)
         return new_carry, dense(params["out"], h, self._dtype)
 
     def _cell_pre(self, cp, carry, gx):
@@ -82,7 +89,8 @@ class CausalLSTM:
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    def apply(self, params, x, cond=None, mask=None, *, shift: bool = True):
+    def apply(self, params, x, cond=None, mask=None, *, shift: bool = True,
+              extra=None):
         """Full-sequence causal application.
 
         With ``shift=True`` (default) the output at position t depends only
@@ -116,4 +124,6 @@ class CausalLSTM:
         for cp in params["cells"]:
             seq = scan_layer(cp, seq)
         hs = seq.transpose(1, 0, 2)
+        if extra is not None:
+            hs = jnp.concatenate([hs, jnp.asarray(extra, hs.dtype)], axis=-1)
         return dense(params["out"], hs, self._dtype)

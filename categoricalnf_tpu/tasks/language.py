@@ -140,14 +140,30 @@ def load_corpus(name: str, data_dir: Optional[str] = None) -> CharCorpus:
 def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
                   lstm_layers: int = 2, num_mixtures: int = 16,
                   compute_dtype: str = "bfloat16",
-                  scan_blocks: bool = True) -> flows.FlowModel:
-    block = (flows.ActNorm(), flows.InvertibleLinear(),
-             flows.AutoregressiveMixtureCDF(
-                 net=networks.CausalLSTM(hidden_dim=hidden_dim,
-                                         num_layers=lstm_layers,
-                                         compute_dtype=compute_dtype),
-                 num_mixtures=num_mixtures),
-             flows.SoftClamp())
+                  scan_blocks: bool = True,
+                  channel_coupling: bool = True) -> flows.FlowModel:
+    """LM flow: autoregressive in time AND (by default) coupling in
+    channels — the reference's design (SURVEY.md C5+C15).  Each block has
+    both parities so every channel transforms with within-step context;
+    `channel_coupling=False` falls back to transform-all-channels layers
+    (channels conditionally independent per step)."""
+
+    def ar(parity):
+        return flows.AutoregressiveMixtureCDF(
+            net=networks.CausalLSTM(
+                hidden_dim=hidden_dim, num_layers=lstm_layers,
+                extra_dim=dim if parity is not None else 0,
+                compute_dtype=compute_dtype),
+            num_mixtures=num_mixtures, parity=parity)
+
+    if channel_coupling:
+        block = (flows.ActNorm(), flows.InvertibleLinear(), ar(0),
+                 flows.SoftClamp(),
+                 flows.ActNorm(), flows.InvertibleLinear(), ar(1),
+                 flows.SoftClamp())
+    else:
+        block = (flows.ActNorm(), flows.InvertibleLinear(), ar(None),
+                 flows.SoftClamp())
     if scan_blocks and num_layers > 1:
         return flows.FlowModel(
             layers=(flows.ScannedBlocks(block=block, depth=num_layers),),

@@ -152,6 +152,43 @@ def test_autoregressive_roundtrip(rng, z):
     _roundtrip(layer, rng, z, tol=5e-4)
 
 
+def test_autoregressive_channel_coupling_roundtrip(rng, z):
+    for parity in (0, 1):
+        net = networks.CausalLSTM(hidden_dim=32, extra_dim=D,
+                                  compute_dtype="float32")
+        layer = flows.AutoregressiveMixtureCDF(net=net, num_mixtures=4,
+                                               parity=parity)
+        _roundtrip(layer, rng, z, tol=5e-4)
+
+
+def test_autoregressive_channel_coupling_uses_current_step(rng, z):
+    """With parity set, the transform of step t's masked-out channels must
+    depend on step t's masked-in channels (within-step joint structure)."""
+    net = networks.CausalLSTM(hidden_dim=32, extra_dim=D,
+                              compute_dtype="float32")
+    layer = flows.AutoregressiveMixtureCDF(net=net, num_mixtures=4, parity=0)
+    params = layer.init(rng, D, 0)
+    # randomise the zero-init output head so dependence is observable
+    params = dict(params)
+    net_p = dict(params["net"])
+    net_p["out"] = dict(net_p["out"])
+    net_p["out"]["w"] = jax.random.normal(rng, net_p["out"]["w"].shape) * 0.1
+    params["net"] = net_p
+    ldj0 = jnp.zeros(B, jnp.float32)
+    m = np.asarray(flows.make_channel_mask(D, 0))
+    in_idx = int(np.nonzero(m)[0][0])
+    out_idx = int(np.nonzero(1 - m)[0][0])
+    z2 = z.at[:, 2, in_idx].set(z[:, 2, in_idx] + 5.0)
+    o1, _ = layer.forward(params, z, ldj0)
+    o2, _ = layer.forward(params, z2, ldj0)
+    # same-step transformed channel must differ
+    assert not np.allclose(np.asarray(o1[:, 2, out_idx]),
+                           np.asarray(o2[:, 2, out_idx]))
+    # earlier steps must be untouched (causality)
+    np.testing.assert_allclose(np.asarray(o1[:, :2]), np.asarray(o2[:, :2]),
+                               atol=1e-5)
+
+
 def test_autoregressive_causality(rng, z):
     """Output at position t must not depend on inputs at positions >= t."""
     net = networks.CausalLSTM(hidden_dim=32, compute_dtype="float32")
