@@ -17,4 +17,9 @@ run lm_v3 python experiments/language_modeling/train.py \
   --encoding_dim 4 --num_mixtures 16 --lr 5e-4 \
   --out_dir runs/lm_v3 --log_every 2000
 
+run molecules_v2 python experiments/molecule_generation/train.py \
+  --num_steps 25000 --eval_every 5000 --eval_samples 4 --batch_size 64 \
+  --max_nodes 24 --hidden_dim 128 --out_dir runs/molecules_v2 \
+  --log_every 2000 --resume
+
 echo "campaign4 complete"
