@@ -69,4 +69,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally throws transient FailedPrecondition
+    # errors; retry so the driver always records a measurement.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"bench attempt {attempt + 1} failed ({type(e).__name__}); "
+                  "retrying in 120s", flush=True)
+            time.sleep(120)
