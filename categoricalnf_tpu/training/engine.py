@@ -109,10 +109,15 @@ class Trainer:
         start_step = 0
         ckpt = (ckpt_lib.CheckpointManager(cfg.out_dir, cfg.keep_checkpoints)
                 if cfg.out_dir else None)
+        will_restore = bool(resume and ckpt is not None and ckpt._steps())
         params = self.task.init_params(rng)
-        calib = next(data_iter)
-        params = self.task.data_init(
-            params, self._shard(calib), jax.random.fold_in(rng, 999))
+        if not will_restore:
+            # data-dependent actnorm init (SURVEY.md §3.4) — skipped when a
+            # checkpoint will overwrite the params anyway (it costs a full
+            # eager calibration pass on the device).
+            calib = next(data_iter)
+            params = self.task.data_init(
+                params, self._shard(calib), jax.random.fold_in(rng, 999))
         state = TrainState.create(params, self.tx)
 
         if resume and ckpt is not None:
