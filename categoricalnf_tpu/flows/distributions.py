@@ -26,8 +26,12 @@ class LogisticPrior:
         per = nm.logistic_log_pdf(z, 0.0, 0.0)
         return sum_ldj(per, mask)
 
-    def sample(self, rng: jax.Array, shape) -> Array:
-        return nm.logistic_sample(rng, shape)
+    def sample(self, rng: jax.Array, shape,
+               temperature: float = 1.0) -> Array:
+        """Draw from the prior; ``temperature`` scales the base logistic
+        (T<1 concentrates mass near the mode — the standard flow-sampling
+        knob for the validity/diversity trade-off)."""
+        return nm.logistic_sample(rng, shape) * temperature
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,8 +43,9 @@ class GaussianPrior:
         per = -0.5 * (z32 ** 2 + jnp.log(2.0 * jnp.pi))
         return sum_ldj(per, mask)
 
-    def sample(self, rng: jax.Array, shape) -> Array:
-        return jax.random.normal(rng, shape, dtype=jnp.float32)
+    def sample(self, rng: jax.Array, shape,
+               temperature: float = 1.0) -> Array:
+        return jax.random.normal(rng, shape, dtype=jnp.float32) * temperature
 
 
 def create_prior(name: str):

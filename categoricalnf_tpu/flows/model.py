@@ -59,8 +59,9 @@ class FlowModel:
         zk, ldj = self.forward(params, z0, cond=cond, mask=mask)
         return self.prior.log_prob(zk, mask) + ldj
 
-    def sample(self, params, rng: jax.Array, shape, *, cond=None, mask=None):
-        zk = self.prior.sample(rng, shape)
+    def sample(self, params, rng: jax.Array, shape, *, cond=None, mask=None,
+               temperature: float = 1.0):
+        zk = self.prior.sample(rng, shape, temperature)
         z0, _ = self.inverse(params, zk, cond=cond, mask=mask)
         return z0
 

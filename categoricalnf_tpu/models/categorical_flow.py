@@ -102,11 +102,11 @@ class CategoricalFlow:
     # -- sampling ---------------------------------------------------------
 
     def sample(self, params, rng: jax.Array, batch: int, num_pos: int, *,
-               cond=None, mask=None) -> Array:
+               cond=None, mask=None, temperature: float = 1.0) -> Array:
         k_prior, k_dec = jax.random.split(rng)
         shape = (batch, num_pos, self.encoding.dim)
         z = self.flow.sample(params["flow"], k_prior, shape, cond=cond,
-                             mask=mask)
+                             mask=mask, temperature=temperature)
         return self.encoding.decode(params["encoding"], z, mask=mask)
 
     # -- data-dependent init ---------------------------------------------

@@ -228,11 +228,12 @@ class GraphCNF:
 
     # sampling ------------------------------------------------------------
 
-    def sample(self, params, rng: jax.Array, node_mask: Array
-               ) -> tuple[Array, Array]:
+    def sample(self, params, rng: jax.Array, node_mask: Array,
+               temperature: float = 1.0) -> tuple[Array, Array]:
         """Ancestral sampling given a node mask (node count drawn by task).
 
         Returns (atoms [B,N], edges [B,E] with 0=virtual/1..R=bond type).
+        ``temperature`` scales the prior draws of all three stages.
         """
         B = node_mask.shape[0]
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -240,26 +241,35 @@ class GraphCNF:
 
         # stage 1: nodes
         zp_v = self.flow_node.prior.sample(k1, (B, self.max_nodes,
-                                                self.node_dim))
+                                                self.node_dim), temperature)
         z_v, _ = self.flow_node.inverse(params["flow_node"], zp_v,
                                         mask=node_mask)
         atoms = self.enc_node.decode(params["enc_node"], z_v)
 
         # stage 2: edge existence | node latents
         zp_e1 = self.flow_exist.prior.sample(k2, (B, self.num_edges,
-                                                  self.exist_dim))
+                                                  self.exist_dim),
+                                             temperature)
         cond_e1 = {"node_feat": z_v, "node_mask": node_mask}
         z_e1, _ = self.flow_exist.inverse(params["flow_exist"], zp_e1,
                                           cond=cond_e1, mask=e_mask)
         exist = self.enc_exist.decode(params["enc_exist"], z_e1)
 
-        # stage 3: bond types | node + existence latents
+        # stage 3: bond types | node + existence latents.  The density
+        # direction (elbo) evaluates the bond flow with
+        # bond_mask = e_mask * exist — only *existing* edges participate;
+        # EdgeGNN gates every read of the edge stream by this mask.  The
+        # inverse must use the SAME mask or the coupling nets condition
+        # real-edge transforms on virtual-edge prior noise the trained
+        # density never saw (the sampling-side twin of the masked-leak bug;
+        # see tests/test_mask_integrity.py::test_bond_gating_consistency).
+        bond_mask = e_mask * exist.astype(jnp.float32)
         zp_e2 = self.flow_bond.prior.sample(k3, (B, self.num_edges,
-                                                 self.bond_dim))
+                                                 self.bond_dim), temperature)
         cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
                    "edge_feat": z_e1}
         z_e2, _ = self.flow_bond.inverse(params["flow_bond"], zp_e2,
-                                         cond=cond_e2, mask=e_mask)
+                                         cond=cond_e2, mask=bond_mask)
         bond = self.enc_bond.decode(params["enc_bond"], z_e2)
 
         edges = exist * (1 + bond)

@@ -76,6 +76,40 @@ def test_graphcnf_exist_stage_no_masked_leakage(rng):
                         e_mask, rng)
 
 
+def test_bond_gating_consistency(rng, monkeypatch):
+    """Sampling must invert the bond flow under the SAME mask the density
+    direction trains with (bond_mask = e_mask * exist), not the plain edge
+    mask — otherwise the EdgeGNN conditions real-edge transforms on
+    virtual-edge prior noise the trained density excludes (VERDICT r1 #1).
+    """
+    from categoricalnf_tpu.flows.model import FlowModel
+
+    m = GraphCNF(num_atom_types=4, num_bond_types=3, max_nodes=6,
+                 node_dim=2, exist_dim=2, bond_dim=2,
+                 num_layers_node=2, num_layers_edge=2, hidden_dim=16,
+                 num_mixtures=3)
+    params = m.init(rng)
+    node_mask = jnp.asarray([[1, 1, 1, 1, 1, 0],
+                             [1, 1, 1, 1, 1, 1]], jnp.float32)
+
+    calls = []
+    orig = FlowModel.inverse
+
+    def spy(self, p, z, ldj=None, *, cond=None, mask=None, rng=None):
+        out = orig(self, p, z, ldj, cond=cond, mask=mask, rng=rng)
+        calls.append({"mask": mask, "z_out": out[0]})
+        return out
+
+    monkeypatch.setattr(FlowModel, "inverse", spy)
+    m.sample(params, jax.random.fold_in(rng, 5), node_mask)
+    assert len(calls) == 3  # node, exist, bond stages
+
+    e_mask = m.edge_mask(node_mask)
+    exist = m.enc_exist.decode(params["enc_exist"], calls[1]["z_out"])
+    expected = np.asarray(e_mask) * np.asarray(exist, np.float32)
+    np.testing.assert_allclose(np.asarray(calls[2]["mask"]), expected)
+
+
 def test_set_flow_no_masked_leakage(rng):
     from categoricalnf_tpu.tasks.set_modeling import build_set_flow
     flow = build_set_flow(2, num_layers=2, hidden_dim=16, num_mixtures=3,
