@@ -48,3 +48,31 @@ def make_sharded_iw_eval(model, mesh):
         return _eval(params, x, keys, mask)
 
     return eval_fn
+
+
+def make_task_sharded_iw_eval(task, mesh):
+    """Task-generic variant used by the Trainer (VERDICT r1 #8): shards IS
+    chains over ``sample`` and the batch over ``data`` for ANY task that
+    implements the ``elbo``/``num_vars``/``eval_bpd_extra`` hooks
+    (training/task.py).  Returns eval_fn(params, batch, rng, num_samples)
+    -> per-example bpd [B]; equals ``task.eval_step`` up to fp noise.
+    """
+    key_sh = NamedSharding(mesh, P(mesh_lib.SAMPLE_AXIS))
+    s_size = mesh.shape[mesh_lib.SAMPLE_AXIS]
+
+    @jax.jit
+    def _eval(params, batch, keys):
+        elbos = jax.vmap(lambda k: task.elbo(params, batch, k))(keys)
+        ll = (jax.scipy.special.logsumexp(elbos, axis=0)
+              - jnp.log(jnp.float32(elbos.shape[0])))
+        bpd = -ll / (task.num_vars(batch) * 0.6931471805599453)
+        return bpd + task.eval_bpd_extra(batch)
+
+    def eval_fn(params, batch, rng, num_samples: int):
+        # chain count must tile the sample axis evenly
+        num = ((num_samples + s_size - 1) // s_size) * s_size
+        keys = jax.device_put(jax.random.split(rng, num), key_sh)
+        batch = mesh_lib.shard_batch(mesh, batch)
+        return _eval(params, batch, keys)
+
+    return eval_fn

@@ -15,6 +15,7 @@ import dataclasses
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from categoricalnf_tpu import encodings, flows
@@ -86,7 +87,8 @@ class GraphColoringTask(TaskTemplate):
     num_layers: int = 6
     hidden_dim: int = 96
     num_mixtures: int = 8
-    eval_batches_count: int = 2
+    eval_batches_count: int = 8
+    metric_samples: int = 1024
     compute_dtype: str = "float32"
     name: str = "graph_coloring"
 
@@ -122,13 +124,29 @@ class GraphColoringTask(TaskTemplate):
         return [self._gen(rng, self.batch_size)
                 for _ in range(self.eval_batches_count)]
 
-    def sample_metrics(self, params, rng: jax.Array) -> dict:
-        """Validity rate of sampled colorings on fresh graphs."""
-        batch = self._gen(np.random.default_rng(123), self.batch_size)
-        x = self.model.sample(params, rng, batch=self.batch_size,
-                              num_pos=self.max_nodes,
-                              cond={"adj": np.asarray(batch["cond"]["adj"])},
-                              mask=np.asarray(batch["mask"]))
-        valid = coloring_validity(batch["cond"]["adj"], np.asarray(x),
-                                  batch["mask"])
-        return {"coloring_validity": float(valid.mean())}
+    def sample_metrics(self, params, rng: jax.Array,
+                       num_samples: int | None = None,
+                       temperature: float = 1.0) -> dict:
+        """Validity rate of sampled colorings on >=1k fresh graphs
+        (batched jitted sampling loop; VERDICT r1 #6)."""
+        num_samples = num_samples or self.metric_samples
+        sample_fn = jax.jit(lambda p, k, adj, mask: self.model.sample(
+            p, k, batch=self.batch_size, num_pos=self.max_nodes,
+            cond={"adj": adj}, mask=mask, temperature=temperature))
+        np_rng = np.random.default_rng(123)
+        valids = []
+        done, i = 0, 0
+        while done < num_samples:
+            b = min(self.batch_size, num_samples - done)
+            batch = self._gen(np_rng, self.batch_size)
+            x = sample_fn(params, jax.random.fold_in(rng, i),
+                          jnp.asarray(batch["cond"]["adj"]),
+                          jnp.asarray(batch["mask"]))
+            valid = coloring_validity(batch["cond"]["adj"], np.asarray(x),
+                                      batch["mask"])
+            valids.append(valid[:b])
+            done += b
+            i += 1
+        valid = np.concatenate(valids)
+        return {"coloring_validity": float(valid.mean()),
+                "metric_num_samples": float(len(valid))}

@@ -15,6 +15,7 @@ end-to-end testable.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Iterator, Optional
 
@@ -68,7 +69,8 @@ class MoleculeTask(TaskTemplate):
     num_layers_edge: int = 4
     hidden_dim: int = 96
     num_mixtures: int = 8
-    eval_batches_count: int = 2
+    eval_batches_count: int = 8
+    metric_samples: int = 1024
     synth_size: int = 2048
     compute_dtype: str = "float32"
     name: str = "molecule_generation"
@@ -123,13 +125,21 @@ class MoleculeTask(TaskTemplate):
     def eval_step(self, params, batch, rng, num_samples):
         bpd = self.model.eval_bpd(params, batch["atoms"], batch["edges"],
                                   batch["node_mask"], rng, num_samples)
-        # include the categorical node-count prior in the likelihood
+        return bpd + self.eval_bpd_extra(batch)
+
+    def elbo(self, params, batch, rng):
+        return self.model.elbo(params, batch["atoms"], batch["edges"],
+                               batch["node_mask"], rng)["elbo"]
+
+    def num_vars(self, batch):
         n = jnp.asarray(batch["node_mask"], jnp.float32).sum(-1)
-        logp_n = jnp.asarray(self._logp_n, jnp.float32)[
-            n.astype(jnp.int32)]
-        e_mask = self.model.edge_mask(batch["node_mask"])
-        n_vars = n + e_mask.sum(-1)
-        return bpd - logp_n / (n_vars * LN2)
+        return n + self.model.edge_mask(batch["node_mask"]).sum(-1)
+
+    def eval_bpd_extra(self, batch):
+        # categorical node-count prior enters the likelihood additively
+        n = jnp.asarray(batch["node_mask"], jnp.float32).sum(-1)
+        logp_n = jnp.asarray(self._logp_n, jnp.float32)[n.astype(jnp.int32)]
+        return -logp_n / (self.num_vars(batch) * LN2)
 
     def init_params(self, rng):
         return self.model.init(rng)
@@ -148,15 +158,40 @@ class MoleculeTask(TaskTemplate):
         return (np.arange(self.max_nodes)[None, :]
                 < counts[:, None]).astype(np.float32)
 
-    def sample_metrics(self, params, rng: jax.Array) -> dict:
+    def sample_many(self, params, rng: jax.Array, num_samples: int,
+                    temperature: float = 1.0
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched jitted sampling loop -> (atoms, edges, node_mask) with
+        ``num_samples`` rows (reference evaluates on 10k samples; VERDICT
+        r1 #6 requires CI-sized sample statistics)."""
+        sample_fn = jax.jit(functools.partial(self.model.sample,
+                                              temperature=temperature))
         np_rng = np.random.default_rng(int(jax.random.randint(
             rng, (), 0, 2**31 - 1)))
-        node_mask = self.sample_node_mask(np_rng, self.batch_size)
-        atoms, edges = self.model.sample(params, rng,
-                                         jnp.asarray(node_mask))
-        atoms, edges = np.asarray(atoms), np.asarray(edges)
+        chunks_a, chunks_e, chunks_m = [], [], []
+        done = 0
+        i = 0
+        while done < num_samples:
+            b = min(self.batch_size, num_samples - done)
+            node_mask = self.sample_node_mask(np_rng, self.batch_size)
+            atoms, edges = sample_fn(params, jax.random.fold_in(rng, i),
+                                     jnp.asarray(node_mask))
+            chunks_a.append(np.asarray(atoms)[:b])
+            chunks_e.append(np.asarray(edges)[:b])
+            chunks_m.append(node_mask[:b])
+            done += b
+            i += 1
+        return (np.concatenate(chunks_a), np.concatenate(chunks_e),
+                np.concatenate(chunks_m))
+
+    def sample_metrics(self, params, rng: jax.Array,
+                       num_samples: Optional[int] = None,
+                       temperature: float = 1.0) -> dict:
+        num_samples = num_samples or self.metric_samples
+        atoms, edges, node_mask = self.sample_many(params, rng, num_samples,
+                                                   temperature)
         if self._train_hashes is None:
-            d = self._slice(np.arange(min(self._split, 512)))
+            d = self._slice(np.arange(self._split))
             self._train_hashes = {
                 chem.wl_hash(d["atoms"][i], d["edges"][i],
                              d["node_mask"][i])
@@ -168,7 +203,10 @@ class MoleculeTask(TaskTemplate):
         return {"validity": raw["validity"],
                 "uniqueness": raw["uniqueness"],
                 "novelty": raw.get("novelty", 0.0),
-                "validity_corrected": fixed["validity"]}
+                "validity_corrected": fixed["validity"],
+                "uniqueness_corrected": fixed["uniqueness"],
+                "novelty_corrected": fixed.get("novelty", 0.0),
+                "metric_num_samples": float(len(atoms))}
 
     def sample_artifacts(self, params, rng, out_dir: str) -> None:
         """Dump sampled molecules as JSON (atoms, bonds, validity)."""

@@ -18,8 +18,9 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, out_dir: str, keep: int = 2):
-        self.dir = os.path.abspath(os.path.join(out_dir, "checkpoints"))
+    def __init__(self, out_dir: str, keep: int = 2,
+                 subdir: str = "checkpoints"):
+        self.dir = os.path.abspath(os.path.join(out_dir, subdir))
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self.keep = keep
@@ -53,6 +54,23 @@ class CheckpointManager:
         for s in steps[:-self.keep]:
             import shutil
             shutil.rmtree(self._path(s), ignore_errors=True)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self._steps()
+        return steps[-1] if steps else None
+
+    def latest_metrics(self) -> Optional[dict]:
+        """Eval metrics recorded with the newest checkpoint (used to seed
+        ``best_bpd`` on resume so a post-resume eval cannot displace the
+        historical best; ADVICE r1 medium)."""
+        steps = self._steps()
+        if not steps:
+            return None
+        path = os.path.join(self._path(steps[-1]), "metrics.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def restore_latest(self, target: Optional[dict] = None) -> Optional[dict]:
         """Restore the newest checkpoint.

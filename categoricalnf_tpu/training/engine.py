@@ -47,6 +47,13 @@ class TrainConfig:
     out_dir: Optional[str] = None
     log_every: int = 100
     keep_checkpoints: int = 2
+    # Periodic ("last") checkpoints alongside the best-metric ones so a
+    # crash during a plateau loses at most this many steps (VERDICT r1
+    # weak #6).  0 -> use eval_every.
+    checkpoint_every: int = 0
+    # Run the large-IS test-split evaluation at the end of train() and log
+    # it as test_bpd (reference test() discipline, SURVEY.md §3.2).
+    run_test: bool = True
     # Tracing/profiling (SURVEY.md §5): when set, a jax.profiler trace of
     # steps [profile_start, profile_start+profile_steps) is written here
     # (viewable with tensorboard-plugin-profile).
@@ -96,6 +103,14 @@ class Trainer:
         self._replicated = repl
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step, static_argnums=(3,))
+        # When the mesh has a nontrivial 'sample' axis, IS chains shard
+        # over it (VERDICT r1 #8); otherwise plain jit.
+        if self.mesh.shape[mesh_lib.SAMPLE_AXIS] > 1:
+            from categoricalnf_tpu.parallel.eval import (
+                make_task_sharded_iw_eval)
+            self._sharded_eval = make_task_sharded_iw_eval(task, self.mesh)
+        else:
+            self._sharded_eval = None
 
     # -- loop -------------------------------------------------------------
 
@@ -109,9 +124,19 @@ class Trainer:
         start_step = 0
         ckpt = (ckpt_lib.CheckpointManager(cfg.out_dir, cfg.keep_checkpoints)
                 if cfg.out_dir else None)
-        will_restore = bool(resume and ckpt is not None and ckpt._steps())
+        # Periodic "last" checkpoints in a sibling dir: resume prefers the
+        # newest of (best, last); inference serves the best dir.
+        ckpt_last = (ckpt_lib.CheckpointManager(
+            cfg.out_dir, keep=1, subdir="checkpoints_last")
+            if cfg.out_dir else None)
+        restore_src = None
+        if resume and ckpt is not None:
+            cands = [c for c in (ckpt, ckpt_last)
+                     if c.latest_step() is not None]
+            if cands:
+                restore_src = max(cands, key=lambda c: c.latest_step())
         params = self.task.init_params(rng)
-        if not will_restore:
+        if restore_src is None:
             # data-dependent actnorm init (SURVEY.md §3.4) — skipped when a
             # checkpoint will overwrite the params anyway (it costs a full
             # eager calibration pass on the device).
@@ -120,22 +145,31 @@ class Trainer:
                 params, self._shard(calib), jax.random.fold_in(rng, 999))
         state = TrainState.create(params, self.tx)
 
-        if resume and ckpt is not None:
+        best_bpd = float("inf")
+        if restore_src is not None:
             target = {"step": np.zeros((), np.int32),
                       "params": jax.device_get(state.params),
                       "opt_state": jax.device_get(state.opt_state)}
-            restored = ckpt.restore_latest(target)
+            restored = restore_src.restore_latest(target)
             if restored is not None:
                 state = TrainState(
                     step=jnp.asarray(restored["step"], jnp.int32),
                     params=restored["params"],
                     opt_state=restored["opt_state"])
                 start_step = int(restored["step"])
-                print(f"resumed from step {start_step}", flush=True)
+                # seed best_bpd from the best-checkpoint metrics so the
+                # first post-resume eval can't displace the historical
+                # best (ADVICE r1 medium).
+                m = ckpt.latest_metrics()
+                if m and "bpd" in m:
+                    best_bpd = float(m["bpd"])
+                print(f"resumed from step {start_step} "
+                      f"(best_bpd {best_bpd:.4f})", flush=True)
         # Replicate the full train state across the mesh explicitly.
         state = jax.device_put(state, self._replicated)
 
-        best_bpd = float("inf")
+        self._best_params_host = None
+        ckpt_every = cfg.checkpoint_every or cfg.eval_every
         t_last = time.time()
         steps_since = 0
         for step in range(start_step, cfg.num_steps):
@@ -166,20 +200,40 @@ class Trainer:
                                  else cfg.eval_samples),
                     rng=jax.random.fold_in(rng, 2**30 + step))
                 self.logger.log(step + 1, eval_metrics, "val")
-                if ckpt is not None and eval_metrics["bpd"] < best_bpd:
-                    ckpt.save(int(state.step), state, eval_metrics)
                 if eval_metrics["bpd"] < best_bpd:
                     best_bpd = eval_metrics["bpd"]
+                    self._best_params_host = jax.device_get(state.params)
+                    if ckpt is not None:
+                        ckpt.save(int(state.step), state, eval_metrics)
+
+            if ckpt_last is not None and (
+                    (step + 1) % ckpt_every == 0
+                    or step + 1 == cfg.num_steps):
+                ckpt_last.save(int(state.step), state)
+
+        # Final sample metrics come from the BEST params (the model the
+        # best_bpd refers to), not the last step (ADVICE r1 low).
+        best_params = self._best_params_host
+        if best_params is None and ckpt is not None and ckpt.latest_step():
+            best_params = ckpt.restore_latest()["params"]
+        if best_params is None:
+            best_params = state.params
+        best_params = jax.device_put(best_params, self._replicated)
 
         final = {"best_bpd": best_bpd}
         final.update(self.task.sample_metrics(
-            state.params, jax.random.fold_in(rng, 777)))
+            best_params, jax.random.fold_in(rng, 777)))
         if cfg.out_dir:
-            self.task.sample_artifacts(state.params,
+            self.task.sample_artifacts(best_params,
                                        jax.random.fold_in(rng, 778),
                                        cfg.out_dir)
+        if cfg.run_test:
+            test_metrics = self.test(best_params)
+            final.update(test_metrics)
+            self.logger.log(cfg.num_steps, test_metrics, "test")
         self.logger.log(cfg.num_steps, final, "final")
         self._final_state = state
+        self._best_params = best_params
         return final
 
     def test(self, params, num_samples: Optional[int] = None,
@@ -190,9 +244,8 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         bpds = []
         for i, batch in enumerate(self.task.test_batches()):
-            b = self._shard(batch)
-            bpd = self._eval_step(params, b, jax.random.fold_in(rng, i),
-                                  num_samples)
+            bpd = self._eval_batch(params, batch,
+                                   jax.random.fold_in(rng, i), num_samples)
             bpds.append(np.asarray(bpd))
         out = {"test_bpd": float(np.mean(np.concatenate(bpds))),
                "num_importance_samples": num_samples}
@@ -201,26 +254,37 @@ class Trainer:
             out["test_gap_to_optimum"] = out["test_bpd"] - opt
         return out
 
+    def _eval_batch(self, params, batch, rng, num_samples: int):
+        """One batch of IW bpds — sample-axis-sharded when the mesh has a
+        nontrivial 'sample' axis, plain jit otherwise."""
+        if self._sharded_eval is not None:
+            batch = jax.tree.map(jnp.asarray, batch)
+            return self._sharded_eval(params, batch, rng, num_samples)
+        return self._eval_step(params, self._shard(batch), rng, num_samples)
+
     def evaluate(self, params, num_samples: int, rng) -> dict:
-        bpds, ns = [], []
+        bpds = []
         for i, batch in enumerate(self.task.eval_batches()):
-            b = self._shard(batch)
-            bpd = self._eval_step(params, b, jax.random.fold_in(rng, i),
-                                  num_samples)
+            bpd = self._eval_batch(params, batch,
+                                   jax.random.fold_in(rng, i), num_samples)
             bpds.append(np.asarray(bpd))
         bpd = float(np.mean(np.concatenate(bpds)))
-        out = {"bpd": bpd}
+        out = {"bpd": bpd, "integrity_alarm": 0.0}
         opt = self.task.analytic_optimum_bpd()
         if opt is not None:
             out["bpd_gap_to_optimum"] = bpd - opt
             if bpd < opt - 0.1:
                 # an IS likelihood bound below the analytic optimum (or
                 # below 0) is mathematically impossible — it certifies the
-                # flow is exploiting a numerics gap (see flows/softclamp.py)
+                # flow is exploiting a numerics gap (see flows/softclamp.py).
+                # The alarm is a structured field so campaign summaries see
+                # it in metrics.jsonl, not just stdout (VERDICT r1 weak #11)
+                out["integrity_alarm"] = 1.0
                 print(f"WARNING: eval bpd {bpd:.3f} below analytic optimum "
                       f"{opt:.3f} — numerically invalid model, investigate",
                       flush=True)
         if bpd < 0:
+            out["integrity_alarm"] = 1.0
             print(f"WARNING: negative eval bpd {bpd:.3f} — numerically "
                   "invalid model, investigate", flush=True)
         return out

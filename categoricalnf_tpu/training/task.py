@@ -43,6 +43,32 @@ class TaskTemplate:
                                    mask=batch.get("mask"),
                                    cond=batch.get("cond"))
 
+    # The three hooks below expose the pieces of ``eval_step`` separately
+    # so the trainer can shard IS chains over the mesh's ``sample`` axis
+    # (parallel/eval.make_task_sharded_iw_eval): per-chain ELBOs are
+    # computed per device and the logsumexp over chains runs as an XLA
+    # collective.  ``eval_step`` must equal
+    # ``-logsumexp_S(elbo)/ (num_vars * ln2) + eval_bpd_extra``.
+
+    def elbo(self, params, batch: dict, rng: jax.Array) -> jax.Array:
+        """Single-sample per-example ELBO [B] (jittable)."""
+        return self.model.elbo(params, batch["x"], rng,
+                               mask=batch.get("mask"),
+                               cond=batch.get("cond"))["elbo"]
+
+    def num_vars(self, batch: dict) -> jax.Array:
+        """Per-example count of categorical variables [B] (jittable)."""
+        import jax.numpy as jnp
+        x, mask = batch["x"], batch.get("mask")
+        if mask is None:
+            return jnp.full((x.shape[0],), float(x.shape[1]), jnp.float32)
+        return jnp.asarray(mask, jnp.float32).sum(axis=1)
+
+    def eval_bpd_extra(self, batch: dict):
+        """Additive per-example bpd term outside the IW bound (e.g. the
+        molecule task's categorical node-count prior)."""
+        return 0.0
+
     # -- hooks ------------------------------------------------------------
 
     def init_params(self, rng: jax.Array):

@@ -57,8 +57,9 @@ def test_coloring_task_loss_eval_sample(rng):
     assert np.isfinite(loss) and loss > 0
     bpd = task.eval_step(params, batch, rng, 2)
     assert np.all(np.isfinite(np.asarray(bpd)))
-    m = task.sample_metrics(params, rng)
+    m = task.sample_metrics(params, rng, num_samples=16)
     assert 0.0 <= m["coloring_validity"] <= 1.0
+    assert m["metric_num_samples"] == 16.0
 
 
 def test_coloring_training_progress(rng):

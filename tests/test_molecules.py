@@ -92,9 +92,11 @@ def test_graphcnf_data_init_and_sampling(rng):
     batch = next(task.train_batches(np.random.default_rng(0)))
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     params = task.data_init(params, batch, rng)
-    m = task.sample_metrics(params, rng)
+    m = task.sample_metrics(params, rng, num_samples=16)
     assert set(m) == {"validity", "uniqueness", "novelty",
-                      "validity_corrected"}
+                      "validity_corrected", "uniqueness_corrected",
+                      "novelty_corrected", "metric_num_samples"}
+    assert m["metric_num_samples"] == 16.0
     assert 0.0 <= m["validity"] <= 1.0
     assert m["validity_corrected"] >= m["validity"] - 1e-9
 
