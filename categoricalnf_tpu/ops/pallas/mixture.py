@@ -122,8 +122,10 @@ def mixture_inverse_pallas(y, pi_logits, means, log_scales, *,
     nls = -jnp.clip(jnp.asarray(log_scales, jnp.float32),
                     nm.LOG_SCALE_MIN, nm.LOG_SCALE_MAX).reshape(M, K).T
 
-    # pad lanes to block multiple, sublanes to 8
-    bm = min(block_m, max(128, M))
+    # pad lanes to block multiple, sublanes to 8.  bm must itself be a
+    # multiple of 128 or Mosaic mis-tiles (ADVICE r1 low: M=300 under a
+    # forced CNF_PALLAS=1 dispatch yielded a non-multiple lane block).
+    bm = min(block_m, max(128, ((M + 127) // 128) * 128))
     y_f = _pad_to(y_f, bm, 1)
     log_pi = _pad_to(_pad_to(log_pi, bm, 1), 8, 0, value=NEG_BIG)
     mu = _pad_to(_pad_to(mu, bm, 1), 8, 0)
@@ -184,7 +186,7 @@ def mixture_forward_pallas(x, pi_logits, means, log_scales, *,
     nls = -jnp.clip(jnp.asarray(log_scales, jnp.float32),
                     nm.LOG_SCALE_MIN, nm.LOG_SCALE_MAX).reshape(M, K).T
 
-    bm = min(block_m, max(128, M))
+    bm = min(block_m, max(128, ((M + 127) // 128) * 128))
     x_f = _pad_to(x_f, bm, 1)
     log_pi = _pad_to(_pad_to(log_pi, bm, 1), 8, 0, value=NEG_BIG)
     mu = _pad_to(_pad_to(mu, bm, 1), 8, 0)

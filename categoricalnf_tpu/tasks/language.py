@@ -56,15 +56,25 @@ class CharCorpus:
 
 
 def load_ptb_char(data_dir: str) -> CharCorpus:
-    """Mikolov character-level PTB: '_' encodes spaces."""
-    texts = {}
+    """Mikolov character-level PTB: files are WHITESPACE-SEPARATED
+    character tokens per line ('_' encodes the original spaces), so each
+    token — not each raw character — is one modeled symbol; anything else
+    doubles the sequence with separator spaces and makes bits/char
+    incomparable to published numbers (ADVICE r1 medium)."""
+    tokens = {}
     for split, fname in PTB_FILES.items():
         with open(os.path.join(data_dir, fname)) as f:
-            texts[split] = f.read().replace("\n", "")
-    chars = sorted(set(texts["train"]))
+            tokens[split] = f.read().split()
+    chars = sorted(set(tokens["train"]))
     idx = {c: i for i, c in enumerate(chars)}
-    splits = {k: np.asarray([idx[c] for c in v if c in idx], np.int32)
-              for k, v in texts.items()}
+    for split in ("valid", "test"):
+        oov = set(tokens[split]) - set(chars)
+        if oov:
+            raise ValueError(
+                f"PTB {split} split has symbols absent from the train "
+                f"vocab: {sorted(oov)!r} — refusing to silently drop them")
+    splits = {k: np.asarray([idx[c] for c in v], np.int32)
+              for k, v in tokens.items()}
     return CharCorpus(splits, chars, "ptb_char")
 
 
