@@ -2,8 +2,13 @@
 
 Runs the flagship set-shuffling training configuration on the available
 accelerator (single TPU chip under the driver) and reports training
-throughput in samples/s.  The reference never published throughput
-(BASELINE.md), so ``vs_baseline`` is null.
+throughput in samples/s plus a model-level roofline: analytic
+FLOPs-per-step from XLA's cost analysis of the compiled step, FLOP/s, and
+MFU against the chip's bf16 peak.  The reference never published
+throughput (BASELINE.md), so ``vs_baseline`` is null.
+
+Batch contents VARY per step (8-batch pool + donated chained state) so an
+identical-arg replay can never report impossible times (CLAUDE.md gotcha).
 """
 
 from __future__ import annotations
@@ -15,6 +20,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,          # v5p
+    "TPU v5 lite": 197e12,     # v5e
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,     # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "")
+    for k, v in _PEAK_BF16.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def step_flops(compiled) -> float | None:
+    """Analytic FLOPs of one compiled step from XLA's cost analysis."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:  # noqa: BLE001 — older backends lack cost_analysis
+        return None
 
 
 def main():
@@ -32,8 +67,9 @@ def main():
     tx = OptimizerConfig().build()
     state = TrainState.create(params, tx)
 
-    batch = {"x": jnp.asarray(
-        next(task.train_batches(np.random.default_rng(0)))["x"])}
+    # pool of distinct batches, cycled per step
+    gen = task.train_batches(np.random.default_rng(0))
+    pool = [{"x": jnp.asarray(next(gen)["x"])} for _ in range(8)]
 
     def train_step(state, batch, rng):
         def loss_fn(p):
@@ -46,26 +82,40 @@ def main():
                           opt_state=opt_state), loss
 
     step = jax.jit(train_step, donate_argnums=(0,))
+    lowered = step.lower(state, pool[0], rng)
+    compiled = lowered.compile()
+    flops = step_flops(compiled)
 
-    # Warmup/compile
+    # Warmup (donation means the traced step call re-uses the compiled fn)
     for i in range(3):
-        state, loss = step(state, batch, jax.random.fold_in(rng, i))
+        state, loss = step(state, pool[i % len(pool)],
+                           jax.random.fold_in(rng, i))
     loss.block_until_ready()
 
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, loss = step(state, batch, jax.random.fold_in(rng, 100 + i))
+        state, loss = step(state, pool[i % len(pool)],
+                           jax.random.fold_in(rng, 100 + i))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
 
     samples_per_s = n_steps * batch_size / dt
-    print(json.dumps({
+    out = {
         "metric": "set_shuffling_train_samples_per_s",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": None,
-    }))
+    }
+    if flops is not None:
+        flops_per_s = flops * n_steps / dt
+        out["flops_per_step"] = round(flops, 0)
+        out["flops_per_s"] = round(flops_per_s, 0)
+        peak = peak_flops(jax.devices()[0])
+        if peak:
+            out["mfu"] = round(flops_per_s / peak, 4)
+            out["peak_bf16_flops"] = peak
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

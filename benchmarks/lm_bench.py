@@ -41,8 +41,9 @@ def main():
     params = task.init_params(rng)
     tx = OptimizerConfig().build()
     state = TrainState.create(params, tx)
-    batch = {"x": jnp.asarray(next(task.train_batches(
-        np.random.default_rng(0)))["x"])}
+    gen = task.train_batches(np.random.default_rng(0))
+    pool = [{"x": jnp.asarray(next(gen)["x"])} for _ in range(8)]
+    batch = pool[0]
 
     def train_step(state, batch, rng):
         loss, grads = jax.value_and_grad(
@@ -56,15 +57,23 @@ def main():
     # trainer) so no runtime trick can skip or overlap executions, and take
     # wall clock over the chain.
     step = jax.jit(train_step, donate_argnums=(0,))
+    from bench import peak_flops, step_flops
+    flops = step_flops(step.lower(state, batch, rng).compile())
     state, loss = step(state, batch, rng)
     loss.block_until_ready()
     n = 30
     t0 = time.perf_counter()
     for i in range(n):
-        state, loss = step(state, batch, jax.random.fold_in(rng, i))
+        state, loss = step(state, pool[i % len(pool)],
+                           jax.random.fold_in(rng, i))
     loss.block_until_ready()
     t = (time.perf_counter() - t0) / n
     print(f"train: {B * T / t / 1e6:8.2f} M tokens/s  ({t*1e3:.2f} ms/step)")
+    peak = peak_flops(jax.devices()[0])
+    if flops and peak:
+        print(f"  roofline: {flops/1e9:.1f} GFLOP/step -> "
+              f"{flops / t / 1e12:.2f} TFLOP/s = {flops / t / peak:.1%} "
+              f"of bf16 peak ({peak/1e12:.0f} TFLOP/s)")
 
     eval_fn = jax.jit(lambda p, b, r: task.eval_step(p, b, r, 8))
     t = timeit(lambda i: eval_fn(state.params, batch,

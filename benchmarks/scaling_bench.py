@@ -28,6 +28,11 @@ def main():
                     help="use N virtual CPU devices instead of accelerators")
     ap.add_argument("--per_device_batch", type=int, default=512)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--fixed_total", type=int, default=0,
+                    help="fixed TOTAL batch over a growing mesh: on shared "
+                    "silicon (virtual CPU devices) ideal is FLAT throughput "
+                    "and the drop measures partitioning/collective overhead "
+                    "— meaningful where weak scaling saturates the cores")
     args = ap.parse_args()
 
     if args.cpu:
@@ -50,7 +55,8 @@ def main():
     results = {}
     for n in sizes:
         task = SetShufflingTask(
-            set_size=16, batch_size=args.per_device_batch * n,
+            set_size=16, batch_size=(args.fixed_total or
+                                     args.per_device_batch * n),
             encoding_dim=4, num_layers=8, hidden_dim=96, num_mixtures=8,
             compute_dtype="float32" if args.cpu else "bfloat16")
         mesh = parallel.create_mesh(num_data=n, num_sample=1,
@@ -84,9 +90,15 @@ def main():
         dt = time.perf_counter() - t0
         sps = args.steps * task.batch_size / dt
         results[n] = sps
-        eff = sps / (n * results[1]) if 1 in results else 1.0
-        print(f"devices={n:3d}  samples/s={sps:12.1f}  "
-              f"scaling_efficiency={eff:6.3f}")
+        if args.fixed_total:
+            eff = sps / results[1] if 1 in results else 1.0
+            print(f"devices={n:3d}  samples/s={sps:12.1f}  "
+                  f"vs_single_device={eff:6.3f}  (fixed total batch "
+                  f"{task.batch_size}; 1.0 = zero partitioning overhead)")
+        else:
+            eff = sps / (n * results[1]) if 1 in results else 1.0
+            print(f"devices={n:3d}  samples/s={sps:12.1f}  "
+                  f"scaling_efficiency={eff:6.3f}")
     print(json.dumps({str(k): v for k, v in results.items()}))
 
 
