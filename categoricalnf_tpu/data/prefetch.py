@@ -15,8 +15,15 @@ from typing import Iterator
 
 
 class Prefetcher:
-    def __init__(self, it: Iterator, depth: int = 4):
+    def __init__(self, it: Iterator, depth: int = 4, transform=None):
+        """``transform`` (optional) runs on each item INSIDE the worker
+        thread — pass the device-put/shard closure here so host->device
+        transfer latency (one RPC round-trip per batch over the TPU
+        tunnel) overlaps with the device step instead of serialising the
+        training loop (measured: ~16 ms/step engine overhead without
+        this)."""
         self._it = it
+        self._transform = transform
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -25,6 +32,8 @@ class Prefetcher:
     def _run(self):
         try:
             for item in self._it:
+                if self._transform is not None:
+                    item = self._transform(item)
                 self._q.put(item)
         except BaseException as e:  # surface generator errors to consumer
             self._err = e

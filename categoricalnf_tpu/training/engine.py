@@ -80,8 +80,13 @@ class Trainer:
         repl = mesh_lib.replicated(self.mesh)
         data_sh = mesh_lib.batch_sharding(self.mesh)
 
-        def train_step(state: TrainState, batch, rng):
+        def train_step(state: TrainState, batch, base_rng):
             beta = beta_fn(state.step)
+            # Per-step rng derived INSIDE the jitted step from state.step:
+            # no eager fold_in dispatch on the host per iteration (each
+            # eager op is a tunnel round-trip), and resume reproduces the
+            # same stream since state.step is checkpointed.
+            rng = jax.random.fold_in(base_rng, state.step)
 
             def loss_fn(params):
                 return task.loss(params, batch, rng, beta)
@@ -119,7 +124,9 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
         from categoricalnf_tpu.data.prefetch import Prefetcher
-        data_iter = Prefetcher(self.task.train_batches(np_rng))
+        # _shard runs in the worker thread: H2D transfer overlaps compute.
+        data_iter = Prefetcher(self.task.train_batches(np_rng),
+                               transform=self._shard)
 
         start_step = 0
         ckpt = (ckpt_lib.CheckpointManager(cfg.out_dir, cfg.keep_checkpoints)
@@ -140,9 +147,9 @@ class Trainer:
             # data-dependent actnorm init (SURVEY.md §3.4) — skipped when a
             # checkpoint will overwrite the params anyway (it costs a full
             # eager calibration pass on the device).
-            calib = next(data_iter)
+            calib = next(data_iter)  # already sharded by the prefetcher
             params = self.task.data_init(
-                params, self._shard(calib), jax.random.fold_in(rng, 999))
+                params, calib, jax.random.fold_in(rng, 999))
         state = TrainState.create(params, self.tx)
 
         best_bpd = float("inf")
@@ -175,9 +182,8 @@ class Trainer:
         for step in range(start_step, cfg.num_steps):
             if cfg.profile_dir and step == cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
-            batch = self._shard(next(data_iter))
-            state, metrics = self._train_step(
-                state, batch, jax.random.fold_in(rng, step))
+            batch = next(data_iter)
+            state, metrics = self._train_step(state, batch, rng)
             if (cfg.profile_dir
                     and step == cfg.profile_start + cfg.profile_steps - 1):
                 jax.tree.map(
@@ -186,8 +192,12 @@ class Trainer:
             steps_since += 1
 
             if (step + 1) % cfg.log_every == 0:
-                dt = time.time() - t_last
+                # Force the metrics BEFORE reading the clock: dispatch is
+                # async, so measuring dt first reports dispatch speed (the
+                # python loop runs ~2000 steps ahead), not wall throughput
+                # — the r1 "36M tokens/s" artifact.
                 m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
                 m["steps_per_s"] = steps_since / max(dt, 1e-9)
                 self.logger.log(step + 1, m, "train")
                 t_last, steps_since = time.time(), 0
@@ -290,6 +300,7 @@ class Trainer:
         return out
 
     def _shard(self, batch: dict):
-        # tree-map: batches may contain nested conds (e.g. {"adj": ...})
-        return mesh_lib.shard_batch(self.mesh,
-                                    jax.tree.map(jnp.asarray, batch))
+        # Single device_put per leaf straight from numpy (device_put
+        # accepts host arrays) — the old jnp.asarray pre-pass was a second
+        # full H2D transfer per batch.
+        return mesh_lib.shard_batch(self.mesh, batch)

@@ -71,18 +71,55 @@ def preprocess(lines, max_nodes: int):
             np.asarray(counts, np.int16), stats)
 
 
+def synthesize(num: int, max_nodes: int, seed: int):
+    """Generate a synthetic valence-correct dataset in the same schema.
+
+    Zero-egress stand-in for Zinc250k (SURVEY.md §7 hard part 6): the
+    molecules come from ``chem.random_molecule`` (tree + rings,
+    valence-safe, organic composition).  Materialising the dataset once
+    (instead of regenerating 2k molecules inside every task constructor)
+    makes train/val/test splits stable across runs and lets the task use
+    epoch-scale corpora.
+    """
+    rng = np.random.default_rng(seed)
+    E = max_nodes * (max_nodes - 1) // 2
+    atoms = np.zeros((num, max_nodes), np.int8)
+    edges = np.zeros((num, E), np.int8)
+    counts = rng.integers(8, max_nodes + 1, num).astype(np.int16)
+    for m in range(num):
+        n = int(counts[m])
+        a, adj = chem.random_molecule(rng, n)
+        atoms[m, :n] = a
+        full = np.zeros((max_nodes, max_nodes), np.int64)
+        full[:n, :n] = adj
+        edges[m] = chem.dense_to_edges(full).astype(np.int8)
+    return atoms, edges, counts
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help=".smi / .txt SMILES file")
+    p.add_argument("--input", default=None, help=".smi / .txt SMILES file")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="instead of --input, generate N synthetic "
+                   "valence-correct molecules (zero-egress stand-in)")
     p.add_argument("--name", required=True,
                    help="dataset name (output file {name}.npz)")
     p.add_argument("--out_dir", default=os.environ.get("CNF_DATA_DIR",
                                                        "data"))
     p.add_argument("--max_nodes", type=int, default=38)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    with open(args.input) as f:
-        atoms, edges, num_atoms, stats = preprocess(f, args.max_nodes)
+    if bool(args.input) == bool(args.synthetic):
+        p.error("exactly one of --input / --synthetic is required")
+    if args.synthetic:
+        atoms, edges, num_atoms = synthesize(args.synthetic, args.max_nodes,
+                                             args.seed)
+        stats = {"total": args.synthetic, "kept": args.synthetic,
+                 "synthetic": True}
+    else:
+        with open(args.input) as f:
+            atoms, edges, num_atoms, stats = preprocess(f, args.max_nodes)
 
     os.makedirs(args.out_dir, exist_ok=True)
     out = os.path.join(args.out_dir, f"{args.name}.npz")

@@ -88,3 +88,24 @@ def test_tasks_use_native_path():
     x = next(t.train_batches(np.random.default_rng(0)))["x"]
     for row in x:
         np.testing.assert_array_equal(np.sort(row), np.arange(8))
+
+
+def test_prefetcher_transform_runs_in_worker():
+    import threading
+    main = threading.get_ident()
+    seen = []
+
+    def tf(x):
+        seen.append(threading.get_ident())
+        return x * 10
+
+    out = list(Prefetcher(iter([1, 2, 3]), transform=tf))
+    assert out == [10, 20, 30]
+    assert all(t != main for t in seen)  # H2D overlap happens off-thread
+
+    def boom_tf(x):
+        raise RuntimeError("transform failed")
+
+    p = Prefetcher(iter([1]), transform=boom_tf)
+    with pytest.raises(RuntimeError):
+        next(p)

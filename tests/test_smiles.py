@@ -167,3 +167,14 @@ def test_preprocess_roundtrip(tmp_path):
     mask = (np.arange(12) < 6)[None].astype(np.float32)
     assert chem.molecule_validity(atoms[1:2].astype(np.int64),
                                   edges[1:2].astype(np.int64), mask)[0]
+
+
+def test_preprocess_synthetic_mode():
+    from experiments.molecule_generation.preprocess import synthesize
+    atoms, edges, counts = synthesize(64, max_nodes=16, seed=3)
+    assert atoms.shape == (64, 16) and edges.shape == (64, 120)
+    assert counts.min() >= 8 and counts.max() <= 16
+    mask = (np.arange(16)[None, :] < counts[:, None]).astype(np.float32)
+    valid = chem.molecule_validity(atoms.astype(np.int64),
+                                   edges.astype(np.int64), mask)
+    assert valid.all()  # generator is valence-safe by construction
