@@ -223,6 +223,67 @@ def _kekulize(atoms: list[_Atom],
     return out
 
 
+_ORDER_SYM = {1: "", 2: "=", 3: "#"}
+
+
+def graph_to_smiles(atoms: np.ndarray, adj: np.ndarray) -> str:
+    """Molecular graph -> kekulized SMILES string.
+
+    Inverse of :func:`smiles_to_graph` up to graph isomorphism (bond
+    orders are written explicitly — ``=``/``#`` — never as aromatic
+    lowercase, so the output needs no kekulization to re-parse).  Used to
+    report sampled molecules as SMILES (reference parity: RDKit
+    ``MolToSmiles`` on generated graphs, SURVEY.md C26) and to emit
+    ``.smi`` corpora that exercise the full ingestion path end-to-end.
+    Disconnected components are joined with ``.``.
+    """
+    n = len(atoms)
+    neigh = [list(np.nonzero(adj[i])[0]) for i in range(n)]
+    visited = [False] * n
+    # Pass 1: DFS forest — tree children + ring-closure (back) edges.
+    children: list[list[int]] = [[] for _ in range(n)]
+    ring_digits: dict[int, list[tuple[str, int]]] = {}   # atom -> labels
+    next_digit = [1]
+    roots = []
+    for root in range(n):
+        if visited[root]:
+            continue
+        roots.append(root)
+        stack = [root]
+        visited[root] = True
+        while stack:
+            i = stack.pop()
+            for j in neigh[i]:
+                if not visited[j]:
+                    visited[j] = True
+                    children[i].append(j)
+                    stack.append(j)
+    # back edges = graph edges minus tree edges (count each once)
+    tree = {(min(i, j), max(i, j)) for i in range(n) for j in children[i]}
+    sym_at: dict[tuple[int, int], str] = {}
+    for i in range(n):
+        for j in neigh[i]:
+            if i < j and (i, j) not in tree:
+                d = next_digit[0]
+                next_digit[0] += 1
+                lbl = str(d) if d < 10 else f"%{d:02d}"
+                sym = _ORDER_SYM[int(adj[i, j])]
+                ring_digits.setdefault(i, []).append((sym + lbl, d))
+                ring_digits.setdefault(j, []).append((lbl, d))
+
+    def emit(i: int, parent: int) -> str:
+        s = ATOM_TYPES[int(atoms[i])]
+        if parent >= 0:
+            s = _ORDER_SYM[int(adj[parent, i])] + s
+        s += "".join(lbl for lbl, _ in ring_digits.get(i, ()))
+        kids = children[i]
+        parts = [emit(j, i) for j in kids]
+        return s + "".join(f"({p})" for p in parts[:-1]) + (
+            parts[-1] if parts else "")
+
+    return ".".join(emit(r, -1) for r in roots)
+
+
 def smiles_to_graph(s: str) -> Optional[tuple[np.ndarray, np.ndarray]]:
     """SMILES -> (atom-type ids [n], dense bond-order matrix [n, n]).
 

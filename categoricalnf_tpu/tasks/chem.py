@@ -180,6 +180,99 @@ def sample_quality(atoms: np.ndarray, edges: np.ndarray,
     return out
 
 
+def zinc_like_molecule(rng: np.random.Generator, target_atoms: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Generate a STRUCTURED valid molecule graph (drug-like motifs).
+
+    Zero-egress stand-in for real Zinc250k with realistic local structure,
+    unlike ``random_molecule`` whose uniform tree+ring graphs are near
+    max-entropy given valence (a distribution no model can sample validly
+    with high probability — measured raw validity plateaued <10%).  Motif
+    grammar: benzene-like 6-rings with alternating double bonds (kekulized
+    aromatics), saturated 5/6-rings with at most one heteroatom, short
+    carbon chains; units joined by single bonds; decorations are carbonyl
+    =O, halogens, OH/NH2-like heteroatom leaves.  Reference parity: plays
+    the role of Zinc250k's empirical distribution (SURVEY.md C26).
+
+    Returns (atoms [n], dense adj [n, n]) with n <= target_atoms; always
+    valid under ``molecule_validity`` by construction.
+    """
+    C, N, O, F, _, S, Cl, *_ = range(9)
+    atoms: list[int] = []
+    bonds: list[tuple[int, int, int]] = []
+
+    def add(t: int) -> int:
+        atoms.append(t)
+        return len(atoms) - 1
+
+    def used(i: int) -> int:
+        return sum(o for a, b, o in bonds if i in (a, b))
+
+    def spare(i: int) -> int:
+        return int(MAX_VALENCE_ARR[atoms[i]]) - used(i)
+
+    def new_unit(room: int) -> list[int]:
+        """Append one motif; returns its atom ids (bonds added in place)."""
+        kind = rng.choice(["arom6", "sat_ring", "chain"],
+                          p=[0.40, 0.25, 0.35])
+        if kind == "arom6" and room >= 6:
+            ids = [add(C) for _ in range(6)]
+            # pyridine-like N substitution (ring valence 3 = N's max)
+            if rng.random() < 0.35:
+                atoms[ids[int(rng.integers(6))]] = N
+            for k in range(6):
+                bonds.append((ids[k], ids[(k + 1) % 6], 2 - (k % 2)))
+            return ids
+        if kind == "sat_ring" and room >= 5:
+            sz = 5 if rng.random() < 0.5 else min(6, room)
+            ids = [add(C) for _ in range(sz)]
+            if rng.random() < 0.5:    # THF / pyrrolidine / thiolane-like
+                atoms[ids[int(rng.integers(sz))]] = int(
+                    rng.choice([N, O, S], p=[0.45, 0.45, 0.10]))
+            for k in range(sz):
+                bonds.append((ids[k], ids[(k + 1) % sz], 1))
+            return ids
+        sz = int(rng.integers(1, min(4, room) + 1))
+        ids = [add(int(rng.choice([C, N, O], p=[0.70, 0.15, 0.15])))
+               for _ in range(sz)]
+        for k in range(sz - 1):
+            bonds.append((ids[k], ids[k + 1], 1))
+        return ids
+
+    unit = new_unit(target_atoms)
+    while len(atoms) < target_atoms - 1:
+        hooks = [i for i in range(len(atoms)) if spare(i) >= 1]
+        if not hooks:
+            break
+        room = target_atoms - len(atoms)
+        if room < 1:
+            break
+        a = int(rng.choice(hooks))
+        unit = new_unit(room)
+        ports = [i for i in unit if spare(i) >= 1]
+        if not ports:     # unreachable (every motif keeps >=1 open port);
+            del atoms[min(unit):]      # roll the unit back rather than
+            bonds = [e for e in bonds  # ever keep a disconnected fragment
+                     if e[0] < len(atoms) and e[1] < len(atoms)]
+            break
+        b = int(rng.choice(ports))
+        bonds.append((a, b, 1))
+    # decorations: carbonyl =O on sp3 carbons, halogen/OH/NH2 leaves
+    for i in list(range(len(atoms))):
+        if len(atoms) >= target_atoms:
+            break
+        if atoms[i] == C and spare(i) >= 2 and rng.random() < 0.15:
+            bonds.append((i, add(O), 2))
+        elif spare(i) >= 1 and rng.random() < 0.10:
+            leaf = int(rng.choice([F, Cl, O, N], p=[0.3, 0.2, 0.3, 0.2]))
+            bonds.append((i, add(leaf), 1))
+    n = len(atoms)
+    adj = np.zeros((n, n), np.int64)
+    for a, b, o in bonds:
+        adj[a, b] = adj[b, a] = o
+    return np.asarray(atoms, np.int32), adj
+
+
 def random_molecule(rng: np.random.Generator, num_atoms: int,
                     ring_prob: float = 0.3,
                     double_prob: float = 0.15) -> tuple[np.ndarray, np.ndarray]:

@@ -218,6 +218,7 @@ class MoleculeTask(TaskTemplate):
                                          jnp.asarray(node_mask))
         atoms, edges = np.asarray(atoms), np.asarray(edges)
         valid = chem.molecule_validity(atoms, edges, node_mask)
+        from categoricalnf_tpu.data.smiles import graph_to_smiles
         out = []
         for b in range(32):
             k = int(node_mask[b].sum())
@@ -227,6 +228,8 @@ class MoleculeTask(TaskTemplate):
                      if adj[i, j] > 0]
             out.append({"atoms": [chem.ATOM_TYPES[a]
                                   for a in atoms[b, :k]],
-                        "bonds": bonds, "valid": bool(valid[b])})
+                        "bonds": bonds, "valid": bool(valid[b]),
+                        # reference parity: RDKit MolToSmiles on samples
+                        "smiles": graph_to_smiles(atoms[b, :k], adj)})
         with open(os.path.join(out_dir, "sampled_molecules.json"), "w") as f:
             json.dump(out, f, indent=1)

@@ -71,29 +71,29 @@ def preprocess(lines, max_nodes: int):
             np.asarray(counts, np.int16), stats)
 
 
-def synthesize(num: int, max_nodes: int, seed: int):
-    """Generate a synthetic valence-correct dataset in the same schema.
+def synthesize_smiles(num: int, max_nodes: int, seed: int,
+                      style: str = "zinc_like") -> list:
+    """Generate N synthetic valid molecules and render them as SMILES.
 
-    Zero-egress stand-in for Zinc250k (SURVEY.md §7 hard part 6): the
-    molecules come from ``chem.random_molecule`` (tree + rings,
-    valence-safe, organic composition).  Materialising the dataset once
-    (instead of regenerating 2k molecules inside every task constructor)
-    makes train/val/test splits stable across runs and lets the task use
-    epoch-scale corpora.
+    Zero-egress stand-in for Zinc250k (SURVEY.md §7 hard part 6).
+    ``zinc_like`` uses the structured motif grammar
+    (``chem.zinc_like_molecule`` — drug-like rings/chains/decorations);
+    ``uniform`` keeps the old near-max-entropy tree+ring generator for
+    ablation.  The molecules are rendered to SMILES so the synthetic
+    corpus flows through the exact same ingestion path as a real ``.smi``
+    file (parser + kekulizer exercised end-to-end on the full corpus).
     """
+    from categoricalnf_tpu.data.smiles import graph_to_smiles
     rng = np.random.default_rng(seed)
-    E = max_nodes * (max_nodes - 1) // 2
-    atoms = np.zeros((num, max_nodes), np.int8)
-    edges = np.zeros((num, E), np.int8)
-    counts = rng.integers(8, max_nodes + 1, num).astype(np.int16)
-    for m in range(num):
-        n = int(counts[m])
-        a, adj = chem.random_molecule(rng, n)
-        atoms[m, :n] = a
-        full = np.zeros((max_nodes, max_nodes), np.int64)
-        full[:n, :n] = adj
-        edges[m] = chem.dense_to_edges(full).astype(np.int8)
-    return atoms, edges, counts
+    out = []
+    for _ in range(num):
+        n = int(rng.integers(8, max_nodes + 1))
+        if style == "zinc_like":
+            a, adj = chem.zinc_like_molecule(rng, n)
+        else:
+            a, adj = chem.random_molecule(rng, n)
+        out.append(graph_to_smiles(a, adj))
+    return out
 
 
 def main():
@@ -102,6 +102,10 @@ def main():
     p.add_argument("--synthetic", type=int, default=0,
                    help="instead of --input, generate N synthetic "
                    "valence-correct molecules (zero-egress stand-in)")
+    p.add_argument("--style", choices=["zinc_like", "uniform"],
+                   default="zinc_like",
+                   help="synthetic generator: structured drug-like motifs "
+                   "(default) or the legacy uniform tree+ring graphs")
     p.add_argument("--name", required=True,
                    help="dataset name (output file {name}.npz)")
     p.add_argument("--out_dir", default=os.environ.get("CNF_DATA_DIR",
@@ -113,10 +117,19 @@ def main():
     if bool(args.input) == bool(args.synthetic):
         p.error("exactly one of --input / --synthetic is required")
     if args.synthetic:
-        atoms, edges, num_atoms = synthesize(args.synthetic, args.max_nodes,
-                                             args.seed)
-        stats = {"total": args.synthetic, "kept": args.synthetic,
-                 "synthetic": True}
+        # Materialize a .smi corpus, then ingest it through the same
+        # SMILES path a real file takes (writer+parser roundtrip on the
+        # whole corpus is itself a test of the ingestion machinery).
+        os.makedirs(args.out_dir, exist_ok=True)
+        smi_path = os.path.join(args.out_dir, f"{args.name}.smi")
+        smi = synthesize_smiles(args.synthetic, args.max_nodes, args.seed,
+                                args.style)
+        with open(smi_path, "w") as f:
+            f.write("\n".join(smi) + "\n")
+        print(f"wrote {smi_path} ({len(smi)} molecules, {args.style})")
+        atoms, edges, num_atoms, stats = preprocess(smi, args.max_nodes)
+        stats["synthetic"] = args.style
+        assert stats["kept"] == args.synthetic, stats   # lossless roundtrip
     else:
         with open(args.input) as f:
             atoms, edges, num_atoms, stats = preprocess(f, args.max_nodes)

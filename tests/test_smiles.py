@@ -170,11 +170,52 @@ def test_preprocess_roundtrip(tmp_path):
 
 
 def test_preprocess_synthetic_mode():
-    from experiments.molecule_generation.preprocess import synthesize
-    atoms, edges, counts = synthesize(64, max_nodes=16, seed=3)
+    from experiments.molecule_generation.preprocess import (preprocess,
+                                                            synthesize_smiles)
+    smi = synthesize_smiles(64, max_nodes=16, seed=3)
+    atoms, edges, counts, stats = preprocess(smi, max_nodes=16)
+    # lossless: every synthesized molecule survives its own ingestion
+    assert stats["kept"] == 64 and stats["parse_fail"] == 0
     assert atoms.shape == (64, 16) and edges.shape == (64, 120)
-    assert counts.min() >= 8 and counts.max() <= 16
+    assert counts.max() <= 16
     mask = (np.arange(16)[None, :] < counts[:, None]).astype(np.float32)
     valid = chem.molecule_validity(atoms.astype(np.int64),
                                    edges.astype(np.int64), mask)
     assert valid.all()  # generator is valence-safe by construction
+
+
+def test_graph_to_smiles_roundtrip():
+    from categoricalnf_tpu.data.smiles import graph_to_smiles
+    rng = np.random.default_rng(7)
+    for style in (chem.zinc_like_molecule, chem.random_molecule):
+        for _ in range(50):
+            a, adj = style(rng, int(rng.integers(2, 22)))
+            out = smiles_to_graph(graph_to_smiles(a, adj))
+            assert out is not None
+            a2, adj2 = out
+            n = len(a)
+            assert len(a2) == n
+            e1 = chem.dense_to_edges(adj)
+            e2 = chem.dense_to_edges(adj2)
+            assert (chem.wl_hash(a, e1, np.ones(n))
+                    == chem.wl_hash(a2, e2, np.ones(n)))
+
+
+def test_graph_to_smiles_fixed_cases():
+    from categoricalnf_tpu.data.smiles import graph_to_smiles
+    # single atom
+    assert graph_to_smiles(np.array([0]), np.zeros((1, 1), int)) == "C"
+    # double bond: C=O
+    adj = np.array([[0, 2], [2, 0]])
+    s = graph_to_smiles(np.array([0, 2]), adj)
+    assert smiles_to_graph(s)[1][0, 1] == 2
+    # disconnected components join with '.'
+    adj = np.zeros((2, 2), int)
+    assert "." in graph_to_smiles(np.array([0, 0]), adj)
+    # ring closure digits emitted for cycles
+    n = 6
+    ring = np.zeros((n, n), int)
+    for k in range(n):
+        ring[k, (k + 1) % n] = ring[(k + 1) % n, k] = 1
+    s = graph_to_smiles(np.zeros(n, int), ring)
+    assert "1" in s and smiles_to_graph(s) is not None
