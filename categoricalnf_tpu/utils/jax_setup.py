@@ -13,6 +13,13 @@ import jax
 
 
 def setup_jax(cache_dir: str | None = None) -> None:
+    # CNF_PLATFORM=cpu forces the backend regardless of an exported
+    # JAX_PLATFORMS (which this environment pins to the TPU plugin and
+    # which jax reads before user code runs — config.update is the only
+    # override that works, see CLAUDE.md).
+    platform = os.environ.get("CNF_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     cache_dir = cache_dir or os.environ.get(
         "CNF_JAX_CACHE", os.path.expanduser("~/.cache/cnf_jax"))
     try:

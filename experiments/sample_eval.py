@@ -1,0 +1,76 @@
+"""Post-hoc sample-quality evaluation of a finished run, with a prior
+temperature sweep.
+
+The flow-sampling temperature (prior scale, SURVEY.md C8/C9) is the
+standard validity/diversity knob: T<1 concentrates prior mass near the
+mode, typically raising molecule validity / coloring validity at some
+cost in diversity (uniqueness/novelty).  The trainer evaluates at T=1
+only; this CLI loads the best checkpoint of a run via the inference API
+and reports sample metrics at each requested temperature, on a
+CI-sized sample count (default 1024).
+
+Usage:
+    python experiments/sample_eval.py --run runs/molecules_v4 \
+        --temperatures 0.6,0.7,0.85,1.0 --num_samples 1024
+
+Writes a JSON line per temperature to stdout and the whole table to
+``<run>/temperature_sweep.json``.
+"""
+
+import argparse
+import inspect
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+from categoricalnf_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+
+from categoricalnf_tpu.inference import load_run  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", type=str, required=True)
+    ap.add_argument("--temperatures", type=str, default="0.7,0.85,1.0")
+    ap.add_argument("--num_samples", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args()
+
+    handle = load_run(args.run)
+    sig = inspect.signature(handle.task.sample_metrics).parameters
+    extra = {}
+    if "num_samples" in sig:
+        extra["num_samples"] = args.num_samples
+    temps = [float(t) for t in args.temperatures.split(",")]
+    if "temperature" not in sig and temps != [1.0]:
+        print(f"{handle.task.name}: no temperature knob; evaluating T=1 "
+              "only", file=sys.stderr)
+        temps = [1.0]
+    rows = []
+    for i, t in enumerate(temps):
+        rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        kw = dict(extra)
+        if "temperature" in sig:
+            kw["temperature"] = t
+        metrics = handle.task.sample_metrics(handle.params, rng, **kw)
+        row = {"temperature": t, "step": handle.step,
+               **({"num_samples": args.num_samples} if extra else {}),
+               **{k: float(v) for k, v in metrics.items()}}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(args.run, "temperature_sweep.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
