@@ -151,20 +151,34 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
                   lstm_layers: int = 2, num_mixtures: int = 16,
                   compute_dtype: str = "bfloat16",
                   scan_blocks: bool = True,
-                  channel_coupling: bool = True) -> flows.FlowModel:
+                  channel_coupling: bool = True,
+                  net: str = "lstm", seq_len: int = 512) -> flows.FlowModel:
     """LM flow: autoregressive in time AND (by default) coupling in
     channels — the reference's design (SURVEY.md C5+C15).  Each block has
     both parities so every channel transforms with within-step context;
     `channel_coupling=False` falls back to transform-all-channels layers
-    (channels conditionally independent per step)."""
+    (channels conditionally independent per step).
+
+    ``net`` picks the causal backbone: ``lstm`` (reference parity) or
+    ``transformer`` (TPU-native: the training pass is pure batched
+    attention matmuls with no sequential scan; sampling uses a KV cache)."""
+
+    def make_net(parity):
+        extra = dim if parity is not None else 0
+        if net == "lstm":
+            return networks.CausalLSTM(
+                hidden_dim=hidden_dim, num_layers=lstm_layers,
+                extra_dim=extra, compute_dtype=compute_dtype)
+        if net == "transformer":
+            return networks.CausalTransformer(
+                hidden_dim=hidden_dim, num_layers=lstm_layers,
+                max_len=seq_len, extra_dim=extra,
+                compute_dtype=compute_dtype)
+        raise ValueError(f"unknown LM net {net!r}")
 
     def ar(parity):
         return flows.AutoregressiveMixtureCDF(
-            net=networks.CausalLSTM(
-                hidden_dim=hidden_dim, num_layers=lstm_layers,
-                extra_dim=dim if parity is not None else 0,
-                compute_dtype=compute_dtype),
-            num_mixtures=num_mixtures, parity=parity)
+            net=make_net(parity), num_mixtures=num_mixtures, parity=parity)
 
     if channel_coupling:
         block = (flows.ActNorm(), flows.InvertibleLinear(), ar(0),
@@ -196,6 +210,7 @@ class LanguageModelingTask(TaskTemplate):
     hidden_dim: int = 512
     lstm_layers: int = 2
     num_mixtures: int = 16
+    net: str = "lstm"
     eval_batches_count: int = 8
     compute_dtype: str = "bfloat16"
     name: str = "language_modeling"
@@ -210,7 +225,8 @@ class LanguageModelingTask(TaskTemplate):
             encoding=enc,
             flow=build_lm_flow(enc.dim, self.num_layers, self.hidden_dim,
                                self.lstm_layers, self.num_mixtures,
-                               self.compute_dtype))
+                               self.compute_dtype, net=self.net,
+                               seq_len=self.seq_len))
 
     def _chunks(self, split: str, rng: np.random.Generator,
                 n: int) -> np.ndarray:

@@ -24,7 +24,12 @@ def main():
                    choices=["ptb", "text8", "synthetic"])
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--seq_len", type=int, default=256)
-    p.add_argument("--lstm_layers", type=int, default=2)
+    p.add_argument("--lstm_layers", type=int, default=2,
+                   help="depth of the causal backbone (LSTM or transformer)")
+    p.add_argument("--net", type=str, default="lstm",
+                   choices=["lstm", "transformer"],
+                   help="causal coupling backbone (transformer = "
+                   "scan-free attention training pass, KV-cache sampling)")
     p.set_defaults(batch_size=128, encoding_dim=3, num_layers=2,
                    hidden_dim=512, num_mixtures=16)
     args = p.parse_args()
@@ -34,7 +39,7 @@ def main():
         encoding_name=args.encoding, encoding_dim=args.encoding_dim,
         num_layers=args.num_layers, hidden_dim=args.hidden_dim,
         lstm_layers=args.lstm_layers, num_mixtures=args.num_mixtures,
-        compute_dtype=args.compute_dtype)
+        net=args.net, compute_dtype=args.compute_dtype)
     final = run_training(task, args)
     opt = task.analytic_optimum_bpd()
     extra = f" | analytic optimum {opt:.4f}" if opt else ""
