@@ -27,16 +27,25 @@ def timeit(fn, iters=10):
 
 
 def main():
+    import argparse
     from categoricalnf_tpu.tasks import LanguageModelingTask
     from categoricalnf_tpu.training.state import OptimizerConfig, TrainState
     from categoricalnf_tpu.utils.jax_setup import setup_jax
     setup_jax()
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", type=str, default="lstm",
+                    choices=["lstm", "transformer"])
+    ap.add_argument("--hidden_dim", type=int, default=512)
+    args = ap.parse_args()
+
     B, T = 128, 256
     task = LanguageModelingTask(corpus_name="synthetic", seq_len=T,
                                 batch_size=B, encoding_dim=3, num_layers=2,
-                                hidden_dim=512, lstm_layers=2,
-                                num_mixtures=16, compute_dtype="bfloat16")
+                                hidden_dim=args.hidden_dim, lstm_layers=2,
+                                num_mixtures=16, net=args.net,
+                                compute_dtype="bfloat16")
+    print(f"net={args.net} hidden={args.hidden_dim} B={B} T={T}")
     rng = jax.random.PRNGKey(0)
     params = task.init_params(rng)
     tx = OptimizerConfig().build()
