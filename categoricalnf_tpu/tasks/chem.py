@@ -42,9 +42,18 @@ def molecule_validity(atoms: np.ndarray, edges: np.ndarray,
 
     atoms [B,N] atom-type ids; edges [B,E] bond orders (0=no bond);
     node_mask [B,N] (any boolean pattern, not necessarily a prefix).
-    Valid iff every atom's total bond order is within its max valence,
-    every atom has >= 1 bond (no fragments), and the heavy-atom graph is
-    connected.
+
+    Two definitions, both reported by the molecule task:
+
+    - ``check_connected=False`` — **reference-comparable**: valid iff every
+      atom's total bond order is within its max valence.  This matches the
+      RDKit ``MolFromSmiles``-sanitization criterion the reference (and the
+      molecule-generation literature) uses: a disconnected graph parses as
+      dot-separated fragment SMILES and an isolated neutral atom is a valid
+      one-atom molecule (implicit hydrogens), so neither fails sanitization.
+    - ``check_connected=True`` — **strict**: additionally require every
+      atom to have >= 1 bond and the heavy-atom graph to be connected
+      (a single molecule, no fragments).
     """
     B, N = atoms.shape
     out = np.zeros(B, bool)
@@ -58,9 +67,8 @@ def molecule_validity(atoms: np.ndarray, edges: np.ndarray,
         val = adj.sum(axis=1)
         if np.any(val > MAX_VALENCE_ARR[a]):
             continue
-        if k > 1 and np.any(val == 0):
-            continue
-        if check_connected and k > 1 and not _connected(adj):
+        if check_connected and k > 1 and (
+                np.any(val == 0) or not _connected(adj)):
             continue
         out[b] = True
     return out
@@ -163,11 +171,19 @@ def wl_hash(atoms: np.ndarray, edges: np.ndarray, node_mask: np.ndarray,
 def sample_quality(atoms: np.ndarray, edges: np.ndarray,
                    node_mask: np.ndarray,
                    train_hashes: Optional[set] = None,
-                   correct: bool = False) -> dict:
-    """validity / uniqueness / novelty for a batch of sampled molecules."""
+                   correct: bool = False,
+                   check_connected: bool = True) -> dict:
+    """validity / uniqueness / novelty for a batch of sampled molecules.
+
+    ``check_connected`` selects between the strict and the
+    reference-comparable validity definition (see ``molecule_validity``);
+    uniqueness/novelty are computed over the molecules valid under the
+    chosen definition, as the reference does over its RDKit-valid set.
+    """
     if correct:
         edges, node_mask = valency_correction(atoms, edges, node_mask)
-    valid = molecule_validity(atoms, edges, node_mask)
+    valid = molecule_validity(atoms, edges, node_mask,
+                              check_connected=check_connected)
     hashes = [wl_hash(atoms[b], edges[b], node_mask[b])
               for b in range(atoms.shape[0]) if valid[b]]
     n_valid = len(hashes)

@@ -196,13 +196,22 @@ class MoleculeTask(TaskTemplate):
                 chem.wl_hash(d["atoms"][i], d["edges"][i],
                              d["node_mask"][i])
                 for i in range(len(d["atoms"]))}
+        # Reference-comparable raw validity: valence-only, fragments
+        # allowed — the RDKit-sanitization criterion the reference's
+        # numbers use (see chem.molecule_validity).  The strict
+        # single-connected-molecule definition is reported alongside.
         raw = chem.sample_quality(atoms, edges, node_mask,
-                                  self._train_hashes, correct=False)
+                                  self._train_hashes, correct=False,
+                                  check_connected=False)
+        strict = chem.sample_quality(atoms, edges, node_mask,
+                                     self._train_hashes, correct=False,
+                                     check_connected=True)
         fixed = chem.sample_quality(atoms, edges, node_mask,
                                     self._train_hashes, correct=True)
         return {"validity": raw["validity"],
                 "uniqueness": raw["uniqueness"],
                 "novelty": raw.get("novelty", 0.0),
+                "validity_strict": strict["validity"],
                 "validity_corrected": fixed["validity"],
                 "uniqueness_corrected": fixed["uniqueness"],
                 "novelty_corrected": fixed.get("novelty", 0.0),
@@ -217,7 +226,9 @@ class MoleculeTask(TaskTemplate):
         atoms, edges = self.model.sample(params, rng,
                                          jnp.asarray(node_mask))
         atoms, edges = np.asarray(atoms), np.asarray(edges)
-        valid = chem.molecule_validity(atoms, edges, node_mask)
+        valid = chem.molecule_validity(atoms, edges, node_mask,
+                                       check_connected=False)
+        valid_strict = chem.molecule_validity(atoms, edges, node_mask)
         from categoricalnf_tpu.data.smiles import graph_to_smiles
         out = []
         for b in range(32):
@@ -229,6 +240,7 @@ class MoleculeTask(TaskTemplate):
             out.append({"atoms": [chem.ATOM_TYPES[a]
                                   for a in atoms[b, :k]],
                         "bonds": bonds, "valid": bool(valid[b]),
+                        "valid_strict": bool(valid_strict[b]),
                         # reference parity: RDKit MolToSmiles on samples
                         "smiles": graph_to_smiles(atoms[b, :k], adj)})
         with open(os.path.join(out_dir, "sampled_molecules.json"), "w") as f:

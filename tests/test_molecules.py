@@ -37,6 +37,49 @@ def test_validity_catches_violations():
     assert not chem.molecule_validity(atoms, edges, mask)[0]
 
 
+def test_validity_definitions_reference_vs_strict():
+    """Reference-comparable validity (valence-only, RDKit-sanitization
+    equivalent) accepts fragments/isolated atoms; strict does not."""
+    N = 4
+    # two disconnected C-C fragments: valence-fine, not one molecule
+    atoms = np.asarray([[0, 0, 0, 0]], np.int32)
+    edges = np.zeros((1, 6), np.int32)
+    edges[0, 0] = 1  # C0-C1
+    edges[0, 5] = 1  # C2-C3
+    mask = np.ones((1, N), np.float32)
+    assert chem.molecule_validity(atoms, edges, mask,
+                                  check_connected=False)[0]
+    assert not chem.molecule_validity(atoms, edges, mask)[0]
+
+    # isolated atom next to a bonded pair: same split
+    edges2 = np.zeros((1, 6), np.int32)
+    edges2[0, 0] = 1  # C0-C1, C2 isolated
+    mask2 = np.asarray([[1, 1, 1, 0]], np.float32)
+    assert chem.molecule_validity(atoms, edges2, mask2,
+                                  check_connected=False)[0]
+    assert not chem.molecule_validity(atoms, edges2, mask2)[0]
+
+    # valence violation fails BOTH definitions
+    atoms_f = np.asarray([[3, 3, 3, 3]], np.int32)  # F chain
+    edges3 = np.zeros((1, 6), np.int32)
+    edges3[0, 0] = 1
+    edges3[0, 3] = 1  # F1 valence 2 > 1
+    assert not chem.molecule_validity(atoms_f, edges3, mask,
+                                      check_connected=False)[0]
+    assert not chem.molecule_validity(atoms_f, edges3, mask)[0]
+
+
+def test_sample_quality_uses_chosen_definition():
+    atoms = np.asarray([[0, 0, 0, 0]], np.int32)
+    edges = np.zeros((1, 6), np.int32)
+    edges[0, 0] = 1
+    edges[0, 5] = 1  # two fragments
+    mask = np.ones((1, 4), np.float32)
+    ref = chem.sample_quality(atoms, edges, mask, check_connected=False)
+    strict = chem.sample_quality(atoms, edges, mask, check_connected=True)
+    assert ref["validity"] == 1.0 and strict["validity"] == 0.0
+
+
 def test_valency_correction_fixes_violations():
     N = 4
     atoms = np.asarray([[0, 2, 2, 2]], np.int32)  # C O O O
@@ -94,11 +137,14 @@ def test_graphcnf_data_init_and_sampling(rng):
     params = task.data_init(params, batch, rng)
     m = task.sample_metrics(params, rng, num_samples=16)
     assert set(m) == {"validity", "uniqueness", "novelty",
+                      "validity_strict",
                       "validity_corrected", "uniqueness_corrected",
                       "novelty_corrected", "metric_num_samples"}
     assert m["metric_num_samples"] == 16.0
     assert 0.0 <= m["validity"] <= 1.0
-    assert m["validity_corrected"] >= m["validity"] - 1e-9
+    # strict (connected) validity can only be harder to satisfy
+    assert m["validity_strict"] <= m["validity"] + 1e-9
+    assert m["validity_corrected"] >= m["validity_strict"] - 1e-9
 
 
 def test_graphcnf_training_step_reduces_loss(rng):
