@@ -28,23 +28,35 @@ def main(runs_dir="runs"):
         vals = [r for r in recs if r["prefix"] == "val"]
         finals = [r for r in recs if r["prefix"] == "final"]
         trains = [r for r in recs if r["prefix"] == "train"]
+        tests = [r for r in recs if r["prefix"] == "test"]
+        posthoc = [r for r in recs if r["prefix"] == "posthoc_test"]
         best = min((v["bpd"] for v in vals), default=float("nan"))
         gap = min((v.get("bpd_gap_to_optimum", float("nan")) for v in vals),
                   default=float("nan"))
         sps = (sorted(t.get("steps_per_s", 0) for t in trains)[len(trains) // 2]
                if trains else float("nan"))
+        test_bpd = tests[-1]["test_bpd"] if tests else float("nan")
+        # posthoc rows (eval_bpd CLI) are the tightest IW bound on record
+        for p in posthoc:
+            if p["bpd"] < test_bpd or test_bpd != test_bpd:
+                test_bpd = p["bpd"]
         extra = {}
         for f in finals:
-            for k in ("coloring_validity", "validity", "validity_corrected",
-                      "uniqueness", "novelty"):
+            for k in ("coloring_validity", "validity", "validity_strict",
+                      "validity_corrected", "uniqueness", "novelty"):
                 if k in f:
                     extra[k] = f[k]
-        rows.append((name, best, gap, sps, extra))
-    print(f"| run | best val bpd | gap to optimum | steps/s | sample metrics |")
-    print(f"|---|---|---|---|---|")
-    for name, best, gap, sps, extra in rows:
+        alarm = any(r.get("integrity_alarm", 0) for r in vals + finals)
+        rows.append((name, best, gap, test_bpd, sps, extra, alarm))
+    print("| run | best val bpd | gap to optimum | test bpd | steps/s "
+          "| sample metrics |")
+    print("|---|---|---|---|---|---|")
+    for name, best, gap, test_bpd, sps, extra, alarm in rows:
         ex = ", ".join(f"{k}={v:.3f}" for k, v in extra.items()) or "—"
-        print(f"| {name} | {best:.4f} | {gap:+.4f} | {sps:.0f} | {ex} |")
+        if alarm:
+            ex = "⚠ INTEGRITY ALARM; " + ex
+        print(f"| {name} | {best:.4f} | {gap:+.4f} | {test_bpd:.4f} "
+              f"| {sps:.0f} | {ex} |")
 
 
 if __name__ == "__main__":
