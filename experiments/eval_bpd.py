@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--max_batches", type=int, default=0,
                     help="0 = full split")
+    ap.add_argument("--no_write", action="store_true",
+                    help="print only; do not append to metrics.jsonl "
+                         "(use for smoke probes)")
     args = ap.parse_args()
 
     handle = load_run(args.run)
@@ -71,8 +74,9 @@ def main():
     if opt is not None:
         out["gap_to_optimum"] = out["bpd"] - opt
     print(json.dumps(out))
-    with open(os.path.join(args.run, "metrics.jsonl"), "a") as f:
-        f.write(json.dumps(out) + "\n")
+    if not args.no_write:
+        with open(os.path.join(args.run, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
