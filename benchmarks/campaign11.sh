@@ -23,8 +23,24 @@ if [ $# -ge 1 ] && [ -n "$1" ]; then
   tail --pid="$1" -f /dev/null
 fi
 
+# The driver runs its round-end bench.py on the real chip at ~00:08 UTC
+# (wall_s arithmetic from PROGRESS.jsonl); a campaign stage holding the
+# tunnel then would contend with it.  Stages that would LAUNCH inside the
+# [23:50, 00:45] window wait until 00:45 instead (running stages are
+# left alone — never kill a TPU process mid-compile).
+guard() {
+  now=$(date -u +%H%M)
+  if [ "$now" -ge 2350 ] || [ "$now" -lt 0045 ]; then
+    echo "round-boundary guard: holding next stage until 00:45 UTC"
+    while [ "$(date -u +%H%M)" -ge 2350 ] || [ "$(date -u +%H%M)" -lt 0045 ]; do
+      sleep 60
+    done
+  fi
+}
+
 run() {
   name=$1; tmo=$2; shift 2
+  guard
   echo "=== $name: $* ==="
   timeout "$tmo" "$@" > "/tmp/campaign11_${name}.log" 2>&1
   echo "=== $name done (exit $?) ==="
