@@ -44,11 +44,17 @@ class CharCorpus:
     """Token streams + vocab for train/valid/test splits."""
 
     def __init__(self, splits: dict[str, np.ndarray], vocab: list[str],
-                 name: str, analytic_bpc: Optional[float] = None):
+                 name: str, analytic_bpc: Optional[float] = None,
+                 transition_matrix: Optional[np.ndarray] = None,
+                 stationary: Optional[np.ndarray] = None):
         self.splits = splits
         self.vocab = vocab
         self.name = name
         self.analytic_bpc = analytic_bpc
+        # Known generating kernel (synthetic corpora only): enables
+        # sample-quality metrics against ground truth.
+        self.transition_matrix = transition_matrix
+        self.stationary = stationary
 
     @property
     def vocab_size(self) -> int:
@@ -123,7 +129,8 @@ def synthetic_markov_corpus(vocab_size: int = 27, length: int = 2_000_000,
     a, b = int(n * 0.9), int(n * 0.95)
     vocab = [chr(ord("a") + i) if i < 26 else "_" for i in range(vocab_size)]
     return CharCorpus({"train": out[:a], "valid": out[a:b], "test": out[b:]},
-                      vocab, "synthetic_markov", analytic_bpc=float(ent))
+                      vocab, "synthetic_markov", analytic_bpc=float(ent),
+                      transition_matrix=P, stationary=pi)
 
 
 def load_corpus(name: str, data_dir: Optional[str] = None) -> CharCorpus:
@@ -259,6 +266,50 @@ class LanguageModelingTask(TaskTemplate):
         x = self.model.sample(params, rng, batch=num, num_pos=self.seq_len)
         x = np.asarray(x)
         return ["".join(self.corpus.vocab[i] for i in row) for row in x]
+
+    def sample_metrics(self, params, rng: jax.Array,
+                       num_samples: int = 256,
+                       temperature: float = 1.0) -> dict:
+        """Sample-quality against the known generating kernel (synthetic
+        corpora only — the LM analogue of molecule validity; reference
+        LM evals are likelihood-only, SURVEY.md C24, so this is extra
+        evidence, not a parity metric).
+
+        - ``unigram_tv``: total variation between the sampled character
+          marginal and the true stationary distribution.
+        - ``bigram_kl_bits``: occupancy-weighted KL (bits/transition)
+          between the sampled transition estimate and the true kernel;
+          upward-biased by estimation noise at fixed sample size, so it
+          is comparable across runs at equal ``num_samples``.
+        """
+        P = self.corpus.transition_matrix
+        if P is None:
+            return {}
+        import functools
+        sample_fn = jax.jit(functools.partial(
+            self.model.sample, num_pos=self.seq_len,
+            temperature=temperature), static_argnames=("batch",))
+        K = self.corpus.vocab_size
+        counts = np.zeros((K, K), np.float64)
+        done = 0
+        i = 0
+        while done < num_samples:
+            b = min(self.batch_size, num_samples - done)
+            x = np.asarray(sample_fn(params, jax.random.fold_in(rng, i),
+                                     batch=self.batch_size))[:b]
+            np.add.at(counts, (x[:, :-1].ravel(), x[:, 1:].ravel()), 1.0)
+            done += b
+            i += 1
+        occ = counts.sum(1)
+        p_occ = occ / occ.sum()
+        phat = (counts + 1e-3) / (occ[:, None] + 1e-3 * K)
+        kl_rows = (phat * np.log2(phat / np.maximum(P, 1e-30))).sum(1)
+        marg = counts.sum(0) + counts.sum(1)
+        marg = marg / marg.sum()
+        tv = 0.5 * np.abs(marg - self.corpus.stationary).sum()
+        return {"unigram_tv": float(tv),
+                "bigram_kl_bits": float((p_occ * kl_rows).sum()),
+                "metric_num_samples": float(done)}
 
     def sample_artifacts(self, params, rng: jax.Array, out_dir: str) -> None:
         texts = self.sample_text(params, rng, num=8)

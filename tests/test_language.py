@@ -75,6 +75,46 @@ def test_lm_sampling_produces_text(rng):
     assert all(len(t) == task.seq_len for t in texts)
 
 
+def test_lm_sample_metrics_against_kernel(rng):
+    task = _tiny_lm()
+    params = task.init_params(rng)
+    m = task.sample_metrics(params, rng, num_samples=32)
+    assert set(m) == {"unigram_tv", "bigram_kl_bits", "metric_num_samples"}
+    assert m["metric_num_samples"] == 32.0
+    assert 0.0 <= m["unigram_tv"] <= 1.0
+    # an untrained model should be far from the kernel; a KL of ~0 here
+    # would mean the metric is broken
+    assert np.isfinite(m["bigram_kl_bits"]) and m["bigram_kl_bits"] > 0.01
+
+
+def test_lm_sample_metrics_oracle_sampler():
+    """Samples drawn from the TRUE kernel must score near-zero TV/KL:
+    pins the estimator itself (smoothing bias only)."""
+    task = _tiny_lm()
+    c = task.corpus
+    rng = np.random.default_rng(0)
+    K = c.vocab_size
+    n, T = 64, task.seq_len
+    # roll chains from the true kernel
+    cdf = np.cumsum(c.transition_matrix, axis=1)
+    x = np.zeros((n, T), np.int64)
+    x[:, 0] = rng.choice(K, size=n, p=c.stationary)
+    for t in range(1, T):
+        u = rng.random(n)
+        x[:, t] = np.array([np.searchsorted(cdf[s], uu)
+                            for s, uu in zip(x[:, t - 1], u)])
+    counts = np.zeros((K, K))
+    np.add.at(counts, (x[:, :-1].ravel(), x[:, 1:].ravel()), 1.0)
+    occ = counts.sum(1)
+    p_occ = occ / occ.sum()
+    phat = (counts + 1e-3) / (occ[:, None] + 1e-3 * K)
+    kl = float((p_occ * (phat * np.log2(
+        phat / np.maximum(c.transition_matrix, 1e-30))).sum(1)).sum())
+    # 64*31 transitions over 27^2 cells: small but clearly below the
+    # untrained-model scale (~1 bit)
+    assert kl < 0.5
+
+
 # -- causal transformer backbone -------------------------------------------
 
 
