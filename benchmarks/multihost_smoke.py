@@ -76,6 +76,24 @@ def worker(pid: int):
           flush=True)
     assert np.isfinite(float(loss))
 
+    # Throughput at >=2 hosts (BASELINE.md reporting row).  Chained
+    # donated state + per-step rng keeps every step distinct (the
+    # identical-arg replay gotcha); on real multi-host TPU slices this
+    # same script reports the real number.
+    import time
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = step(state, x_global, jax.random.fold_in(rng, 100 + i))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    if pid == 0:
+        sps = n_steps * full.shape[0] / dt
+        backend = jax.devices()[0].platform
+        print(f"multihost throughput ({NUM_PROCS} procs x "
+              f"{DEVICES_PER_PROC} {backend} devices): {sps:.0f} samples/s "
+              f"(global batch {full.shape[0]})", flush=True)
+
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
