@@ -34,10 +34,13 @@ _PEAK_BF16 = {
 
 def peak_flops(device) -> float | None:
     kind = getattr(device, "device_kind", "")
+    # Longest prefix wins: "TPU v5 lite" (v5e, 197T) must match before
+    # "TPU v5" (v5p, 459T) — same ordering rule as SMILES' Cl-before-C.
+    best = None
     for k, v in _PEAK_BF16.items():
-        if kind.startswith(k):
-            return v
-    return None
+        if kind.startswith(k) and (best is None or len(k) > best[0]):
+            best = (len(k), v)
+    return best[1] if best else None
 
 
 def step_flops(compiled) -> float | None:

@@ -52,6 +52,15 @@ def main():
 
     n_avail = len(jax.devices())
     sizes = [n for n in [1, 2, 4, 8, 16, 32] if n <= n_avail]
+    if args.fixed_total:
+        # the global batch must tile every mesh in the sweep, or the
+        # sweep crashes at its largest size after minutes of compile
+        m = max(sizes)
+        rounded = (args.fixed_total // m) * m
+        if rounded != args.fixed_total:
+            print(f"fixed_total {args.fixed_total} rounded to {rounded} "
+                  f"(multiple of the largest mesh size {m})")
+            args.fixed_total = rounded
     results = {}
     for n in sizes:
         task = SetShufflingTask(

@@ -36,8 +36,11 @@ def main(runs_dir="runs"):
         sps = (sorted(t.get("steps_per_s", 0) for t in trains)[len(trains) // 2]
                if trains else float("nan"))
         test_bpd = tests[-1]["test_bpd"] if tests else float("nan")
-        # posthoc rows (eval_bpd CLI) are the tightest IW bound on record
+        # posthoc rows (eval_bpd CLI) are the tightest IW bound on record;
+        # partial-split probes are excluded
         for p in posthoc:
+            if p.get("partial"):
+                continue
             if p["bpd"] < test_bpd or test_bpd != test_bpd:
                 test_bpd = p["bpd"]
         extra = {}

@@ -68,11 +68,17 @@ def make_task_sharded_iw_eval(task, mesh):
         bpd = -ll / (task.num_vars(batch) * 0.6931471805599453)
         return bpd + task.eval_bpd_extra(batch)
 
+    def effective_num_samples(num_samples: int) -> int:
+        """IS chain count actually evaluated: rounded UP to tile the
+        sample axis.  Callers logging an IS count must log THIS, or the
+        recorded bound looks tighter than its sample count implies."""
+        return ((num_samples + s_size - 1) // s_size) * s_size
+
     def eval_fn(params, batch, rng, num_samples: int):
-        # chain count must tile the sample axis evenly
-        num = ((num_samples + s_size - 1) // s_size) * s_size
+        num = effective_num_samples(num_samples)
         keys = jax.device_put(jax.random.split(rng, num), key_sh)
         batch = mesh_lib.shard_batch(mesh, batch)
         return _eval(params, batch, keys)
 
+    eval_fn.effective_num_samples = effective_num_samples
     return eval_fn

@@ -130,9 +130,11 @@ class GraphColoringTask(TaskTemplate):
         """Validity rate of sampled colorings on >=1k fresh graphs
         (batched jitted sampling loop; VERDICT r1 #6)."""
         num_samples = num_samples or self.metric_samples
-        sample_fn = jax.jit(lambda p, k, adj, mask: self.model.sample(
+        # temperature as a TRACED scalar: one compile serves all sweep
+        # temperatures (sample_eval CLI) instead of 5-10 min recompiles.
+        sample_fn = jax.jit(lambda p, k, adj, mask, t: self.model.sample(
             p, k, batch=self.batch_size, num_pos=self.max_nodes,
-            cond={"adj": adj}, mask=mask, temperature=temperature))
+            cond={"adj": adj}, mask=mask, temperature=t))
         np_rng = np.random.default_rng(123)
         valids = []
         done, i = 0, 0
@@ -141,7 +143,8 @@ class GraphColoringTask(TaskTemplate):
             batch = self._gen(np_rng, self.batch_size)
             x = sample_fn(params, jax.random.fold_in(rng, i),
                           jnp.asarray(batch["cond"]["adj"]),
-                          jnp.asarray(batch["mask"]))
+                          jnp.asarray(batch["mask"]),
+                          jnp.float32(temperature))
             valid = coloring_validity(batch["cond"]["adj"], np.asarray(x),
                                       batch["mask"])
             valids.append(valid[:b])

@@ -24,6 +24,7 @@ import os
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from categoricalnf_tpu import encodings, flows, networks
@@ -97,14 +98,19 @@ def load_text8(data_dir: str) -> CharCorpus:
                        "test": arr[b:]}, chars, "text8")
 
 
-def synthetic_markov_corpus(vocab_size: int = 27, length: int = 2_000_000,
+def synthetic_markov_corpus(vocab_size: int = 27, length: int = 20_000_000,
                             seed: int = 0,
                             concentration: float = 0.3) -> CharCorpus:
     """First-order Markov chain with Dirichlet rows; exact entropy rate.
 
     The analytic bits/char (stationary entropy rate) is the optimum any
     model can reach — used as the LM correctness beacon when the real
-    corpora are absent.
+    corpora are absent.  Length default is 20M chars (~1.2 s via the C++
+    rollout): at 2M the 3-block/512 flow memorized the train split
+    (runs/lm_v4: train loss sank below the entropy rate while val bpd
+    climbed 3.60→4.30 between 15k and 35k steps) — synthetic data is
+    free, so the corpus is sized to make overfitting impossible at these
+    model sizes, like the real 100M-char text8.
     """
     rng = np.random.default_rng(seed)
     P = rng.dirichlet([concentration] * vocab_size, size=vocab_size)
@@ -285,10 +291,12 @@ class LanguageModelingTask(TaskTemplate):
         P = self.corpus.transition_matrix
         if P is None:
             return {}
-        import functools
-        sample_fn = jax.jit(functools.partial(
-            self.model.sample, num_pos=self.seq_len,
-            temperature=temperature), static_argnames=("batch",))
+        # temperature as a TRACED scalar: one compile serves all sweep
+        # temperatures (sample_eval CLI).
+        sample_fn = jax.jit(
+            lambda p, k, t: self.model.sample(
+                p, k, batch=self.batch_size, num_pos=self.seq_len,
+                temperature=t))
         K = self.corpus.vocab_size
         counts = np.zeros((K, K), np.float64)
         done = 0
@@ -296,7 +304,7 @@ class LanguageModelingTask(TaskTemplate):
         while done < num_samples:
             b = min(self.batch_size, num_samples - done)
             x = np.asarray(sample_fn(params, jax.random.fold_in(rng, i),
-                                     batch=self.batch_size))[:b]
+                                     jnp.float32(temperature)))[:b]
             np.add.at(counts, (x[:, :-1].ravel(), x[:, 1:].ravel()), 1.0)
             done += b
             i += 1

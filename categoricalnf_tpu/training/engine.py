@@ -257,6 +257,11 @@ class Trainer:
             bpd = self._eval_batch(params, batch,
                                    jax.random.fold_in(rng, i), num_samples)
             bpds.append(np.asarray(bpd))
+        # With a sharded sample axis the chain count is rounded up to
+        # tile the axis — log the EFFECTIVE count (ADVICE r2).
+        if self._sharded_eval is not None:
+            num_samples = self._sharded_eval.effective_num_samples(
+                num_samples)
         out = {"test_bpd": float(np.mean(np.concatenate(bpds))),
                "num_importance_samples": num_samples}
         opt = self.task.analytic_optimum_bpd()

@@ -69,7 +69,10 @@ def main():
            "step": handle.step,
            "bpd": float(np.mean(np.concatenate(bpds))),
            "num_importance_samples": args.num_samples,
-           "num_batches": len(bpds)}
+           "num_batches": len(bpds),
+           # partial-split probes must never displace a full-split test
+           # bpd in summaries (summarize_runs skips partial rows)
+           "partial": bool(args.max_batches)}
     opt = task.analytic_optimum_bpd()
     if opt is not None:
         out["gap_to_optimum"] = out["bpd"] - opt

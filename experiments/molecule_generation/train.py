@@ -19,11 +19,13 @@ from categoricalnf_tpu.utils.cli import default_parser, run_training
 
 def main():
     p = default_parser("GraphCNF molecule generation")
-    p.add_argument("--dataset", type=str, default="zinc250k",
+    p.add_argument("--dataset", type=str, default="synthetic",
                    help="dataset name: looks for {name}.npz under "
                    "--data_dir / $CNF_DATA_DIR (zinc250k, moses, or any "
-                   "preprocess.py output incl. --synthetic sets); falls "
-                   "back to the in-process synthetic generator")
+                   "preprocess.py output incl. --synthetic sets). A "
+                   "missing .npz is an error for any name except "
+                   "'synthetic' (the in-process random generator) — no "
+                   "silent substitution")
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--max_nodes", type=int, default=38)
     p.add_argument("--num_layers_node", type=int, default=4)
