@@ -83,6 +83,10 @@ def main():
         print(f"  roofline: {flops/1e9:.1f} GFLOP/step -> "
               f"{flops / t / 1e12:.2f} TFLOP/s = {flops / t / peak:.1%} "
               f"of bf16 peak ({peak/1e12:.0f} TFLOP/s)")
+        if t < flops / peak:
+            print(f"  *** IMPOSSIBLE: {t*1e3:.2f} ms/step is below the "
+                  f"{flops/peak*1e3:.2f} ms compute floor at peak — the "
+                  "measurement is an async/replay artifact, DISCARD it")
 
     eval_fn = jax.jit(lambda p, b, r: task.eval_step(p, b, r, 8))
     t = timeit(lambda i: eval_fn(state.params, batch,
