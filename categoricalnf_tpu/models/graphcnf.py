@@ -213,9 +213,18 @@ class GraphCNF:
     def iw_log_prob(self, params, atoms, edges, node_mask, rng,
                     num_samples: int) -> Array:
         keys = jax.random.split(rng, num_samples)
-        elbos = jax.vmap(
-            lambda k: self.elbo(params, atoms, edges, node_mask, k)["elbo"]
-        )(keys)
+        one = lambda k: self.elbo(params, atoms, edges, node_mask,
+                                  k)["elbo"]
+        # chunked chains (see CategoricalFlow.iw_log_prob): large IS
+        # counts stay within the chunk's working set
+        chunk = num_samples if num_samples % 16 else 16
+        if num_samples <= chunk:
+            elbos = jax.vmap(one)(keys)
+        else:
+            elbos = jax.lax.map(
+                jax.vmap(one),
+                keys.reshape(num_samples // chunk, chunk,
+                             *keys.shape[1:])).reshape(num_samples, -1)
         return (jax.scipy.special.logsumexp(elbos, axis=0)
                 - jnp.log(float(num_samples)))
 

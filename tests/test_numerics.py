@@ -115,3 +115,21 @@ def test_logistic_sample_moments(rng):
     # Logistic(0,1) variance = pi^2/3
     assert abs(float(jnp.mean(s)) - 2.0) < 0.02
     assert abs(float(jnp.var(s)) - (np.pi ** 2) / 3) < 0.05
+
+
+def test_iw_log_prob_chunked_equals_flat(rng):
+    """IS-chain chunking (lax.map of vmapped chunks) must be numerically
+    identical to the flat vmap — same keys, same order, same logsumexp."""
+    import numpy as np
+    from categoricalnf_tpu.tasks import SetShufflingTask
+    task = SetShufflingTask(set_size=8, batch_size=16, encoding_dim=2,
+                            num_layers=2, hidden_dim=32, num_mixtures=4,
+                            compute_dtype="float32")
+    params = task.init_params(rng)
+    x = jnp.asarray(next(task.train_batches(np.random.default_rng(0)))["x"])
+    m = task.model
+    keys = jax.random.split(jax.random.PRNGKey(7), 32)
+    flat = jax.vmap(lambda k: m.elbo(params, x, k)["elbo"])(keys)
+    ref = jax.scipy.special.logsumexp(flat, axis=0) - jnp.log(32.0)
+    got = m.iw_log_prob(params, x, jax.random.PRNGKey(7), 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
