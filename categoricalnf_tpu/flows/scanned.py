@@ -29,8 +29,16 @@ def _slice_d(tree, d):
 
 @dataclasses.dataclass(frozen=True)
 class ScannedBlocks(Transform):
+    """``remat=True`` wraps the scan body in ``jax.checkpoint``: backward
+    recomputes each block's activations instead of storing depth× of them
+    — the standard TPU memory/FLOPs trade (HBM is the bottleneck).  On
+    by default for the GraphCNF flows, whose scaled configs (hidden 256,
+    batch 192, E=276 edge slots) otherwise want ~2× a v5e's 16 GB HBM
+    for stored coupling-net activations."""
+
     block: tuple[Transform, ...] = ()
     depth: int = 1
+    remat: bool = False
     has_data_init: bool = dataclasses.field(default=True, init=False,
                                             repr=False)
 
@@ -53,6 +61,8 @@ class ScannedBlocks(Transform):
                 z, ldj = layer.forward(p, z, ldj, cond=cond, mask=mask)
             return (z, ldj), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (z, ldj), _ = jax.lax.scan(body, (z, ldj), params)
         return z, ldj
 
@@ -64,6 +74,8 @@ class ScannedBlocks(Transform):
                 z, ldj = layer.inverse(p, z, ldj, cond=cond, mask=mask)
             return (z, ldj), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (z, ldj), _ = jax.lax.scan(body, (z, ldj), params, reverse=True)
         return z, ldj
 

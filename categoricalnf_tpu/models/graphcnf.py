@@ -39,9 +39,13 @@ Array = jax.Array
 
 def _stacked(sub, num_layers: int, scan_blocks: bool = True):
     if scan_blocks and num_layers % 2 == 0 and num_layers >= 4:
+        # remat: the graph coupling nets are the framework's memory-
+        # hungriest (B×E×hidden GNN activations per block); recomputing
+        # them in backward keeps scaled configs inside a v5e's HBM.
         return flows.FlowModel(
             layers=(flows.ScannedBlocks(block=sub(0) + sub(1),
-                                        depth=num_layers // 2),),
+                                        depth=num_layers // 2,
+                                        remat=True),),
             prior=flows.LogisticPrior())
     layers = []
     for i in range(num_layers):

@@ -78,3 +78,27 @@ def test_scanned_in_flow_model_with_mask(rng):
     m = np.asarray(mask)[..., None]
     np.testing.assert_allclose(np.asarray(zr) * m, np.asarray(z) * m,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_remat_gradients_match_nonremat(rng):
+    """jax.checkpoint on the scan body must change only memory, not
+    values or gradients (GraphCNF flows run with remat=True)."""
+    block = _block()
+    plain = flows.ScannedBlocks(block=block, depth=3)
+    remat = flows.ScannedBlocks(block=block, depth=3, remat=True)
+    params = plain.init(rng, D)
+    z = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, D))
+    ldj0 = jnp.zeros(B, jnp.float32)
+
+    def loss(m):
+        def f(p):
+            zz, ldj = m.forward(p, z, ldj0)
+            return (zz ** 2).sum() + ldj.sum()
+        return f
+
+    v0, g0 = jax.value_and_grad(loss(plain))(params)
+    v1, g1 = jax.value_and_grad(loss(remat))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
