@@ -151,5 +151,9 @@ class GraphColoringTask(TaskTemplate):
             done += b
             i += 1
         valid = np.concatenate(valids)
-        return {"coloring_validity": float(valid.mean()),
-                "metric_num_samples": float(len(valid))}
+        p = float(valid.mean())
+        n = float(len(valid))
+        return {"coloring_validity": p,
+                "coloring_validity_ci95": float(
+                    1.96 * np.sqrt(max(p * (1 - p), 0.0) / n)),
+                "metric_num_samples": n}

@@ -223,14 +223,19 @@ class MoleculeTask(TaskTemplate):
                                      check_connected=True)
         fixed = chem.sample_quality(atoms, edges, node_mask,
                                     self._train_hashes, correct=True)
-        return {"validity": raw["validity"],
+        n = float(len(atoms))
+        p = raw["validity"]
+        return {"validity": p,
+                # binomial 95% CI half-width at this sample size
+                "validity_ci95": float(1.96 * np.sqrt(max(p * (1 - p), 0.0)
+                                                      / n)),
                 "uniqueness": raw["uniqueness"],
                 "novelty": raw.get("novelty", 0.0),
                 "validity_strict": strict["validity"],
                 "validity_corrected": fixed["validity"],
                 "uniqueness_corrected": fixed["uniqueness"],
                 "novelty_corrected": fixed.get("novelty", 0.0),
-                "metric_num_samples": float(len(atoms))}
+                "metric_num_samples": n}
 
     def sample_artifacts(self, params, rng, out_dir: str) -> None:
         """Dump sampled molecules as JSON (atoms, bonds, validity)."""

@@ -136,7 +136,7 @@ def test_graphcnf_data_init_and_sampling(rng):
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     params = task.data_init(params, batch, rng)
     m = task.sample_metrics(params, rng, num_samples=16)
-    assert set(m) == {"validity", "uniqueness", "novelty",
+    assert set(m) == {"validity", "validity_ci95", "uniqueness", "novelty",
                       "validity_strict",
                       "validity_corrected", "uniqueness_corrected",
                       "novelty_corrected", "metric_num_samples"}
