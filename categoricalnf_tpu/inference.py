@@ -75,8 +75,10 @@ class RunHandle:
         return np.asarray(
             self.task.eval_step(self.params, batch, rng, num_samples))
 
-    def sample_metrics(self, rng: jax.Array) -> dict:
-        return self.task.sample_metrics(self.params, rng)
+    def sample_metrics(self, rng: jax.Array, **kw) -> dict:
+        """Task sample metrics; kwargs (num_samples, temperature) pass
+        through to tasks that support them."""
+        return self.task.sample_metrics(self.params, rng, **kw)
 
 
 def load_run(run_dir: str) -> RunHandle:

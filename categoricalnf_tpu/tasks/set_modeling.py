@@ -19,6 +19,7 @@ import math
 from functools import lru_cache
 from typing import Iterator
 
+import jax
 import numpy as np
 
 from categoricalnf_tpu import encodings, flows, networks
@@ -103,13 +104,31 @@ class SetShufflingTask(TaskTemplate):
     def analytic_optimum_bpd(self) -> float:
         return math.log2(math.factorial(self.set_size)) / self.set_size
 
-    def sample_metrics(self, params, rng) -> dict:
+    def sample_metrics(self, params, rng, num_samples: int | None = None,
+                       temperature: float = 1.0) -> dict:
         """Fraction of sampled sequences that are exact permutations."""
-        x = np.asarray(self.model.sample(params, rng, batch=1024,
-                                         num_pos=self.set_size))
+        x = _sample_set(self.model, params, rng, num_samples or 1024,
+                        self.set_size, temperature)
         is_perm = (np.sort(x, axis=1)
                    == np.arange(self.set_size)[None, :]).all(axis=1)
-        return {"permutation_validity": float(is_perm.mean())}
+        return {"permutation_validity": float(is_perm.mean()),
+                "metric_num_samples": float(len(x))}
+
+
+def _sample_set(model, params, rng, num_samples: int, set_size: int,
+                temperature: float) -> np.ndarray:
+    """Chunked jitted sampling; temperature rides as a TRACED scalar so a
+    temperature sweep (sample_eval CLI) reuses one compiled executable."""
+    chunk = min(num_samples, 1024)
+    fn = jax.jit(lambda p, k, t: model.sample(p, k, batch=chunk,
+                                              num_pos=set_size,
+                                              temperature=t))
+    out, done = [], 0
+    while done < num_samples:
+        rng, k = jax.random.split(rng)
+        out.append(np.asarray(fn(params, k, temperature)))
+        done += chunk
+    return np.concatenate(out)[:num_samples]
 
 
 @lru_cache(maxsize=None)
@@ -188,9 +207,11 @@ class SetSummationTask(TaskTemplate):
                                    self.target_sum)
         return math.log2(cnt) / self.set_size
 
-    def sample_metrics(self, params, rng) -> dict:
+    def sample_metrics(self, params, rng, num_samples: int | None = None,
+                       temperature: float = 1.0) -> dict:
         """Fraction of sampled sequences hitting the target sum."""
-        x = np.asarray(self.model.sample(params, rng, batch=1024,
-                                         num_pos=self.set_size))
+        x = _sample_set(self.model, params, rng, num_samples or 1024,
+                        self.set_size, temperature)
         ok = (x + 1).sum(axis=1) == self.target_sum
-        return {"sum_validity": float(ok.mean())}
+        return {"sum_validity": float(ok.mean()),
+                "metric_num_samples": float(len(x))}

@@ -210,7 +210,10 @@ class Trainer:
                                  else cfg.eval_samples),
                     rng=jax.random.fold_in(rng, 2**30 + step))
                 self.logger.log(step + 1, eval_metrics, "val")
-                if eval_metrics["bpd"] < best_bpd:
+                # An alarmed eval (impossible bpd) must never become the
+                # "best" checkpoint inference will serve.
+                if (eval_metrics["bpd"] < best_bpd
+                        and not eval_metrics.get("integrity_alarm")):
                     best_bpd = eval_metrics["bpd"]
                     self._best_params_host = jax.device_get(state.params)
                     if ckpt is not None:
