@@ -110,7 +110,26 @@ def mixture_log_sf(x: Array, pi_logits: Array, means: Array,
                    log_scales: Array) -> Array:
     log_pi = jax.nn.log_softmax(_f32(pi_logits), axis=-1)
     z = _mixture_z(x, means, log_scales)
-    return jax.scipy.special.logsumexp(log_pi + jax.nn.log_sigmoid(-z), axis=-1)
+    _, log_sig_neg = _log_sigmoid_pair(z)
+    return jax.scipy.special.logsumexp(log_pi + log_sig_neg, axis=-1)
+
+
+def _log_sigmoid_pair(z: Array) -> tuple[Array, Array]:
+    """(log sigmoid(z), log sigmoid(-z)) from ONE softplus via the exact
+    identity log σ(-z) = log σ(z) - z.
+
+    The mixture-CDF chain needs both tails of every component; computing
+    them as two ``jax.nn.log_sigmoid`` calls costs two exp/log1p chains
+    per element on the VPU (the flagship step's bottleneck per
+    PERFORMANCE.md) unless XLA's CSE happens to fuse them.  The identity
+    halves the transcendental count deterministically — same trick the
+    Pallas kernel uses (ops/pallas/mixture.py "shared-exp pair").  Both
+    tails keep full fp32 tail accuracy: for z→-∞ the subtraction
+    reproduces the stable ``-log1p(exp(z))`` form to within fp32
+    resolution of the dominant term.
+    """
+    log_sig_pos = jax.nn.log_sigmoid(z)
+    return log_sig_pos, log_sig_pos - z
 
 
 def mixture_logit_cdf_and_ldj(x: Array, pi_logits: Array, means: Array,
@@ -125,8 +144,7 @@ def mixture_logit_cdf_and_ldj(x: Array, pi_logits: Array, means: Array,
     log_pi = jax.nn.log_softmax(_f32(pi_logits), axis=-1)
     log_scales = jnp.clip(_f32(log_scales), LOG_SCALE_MIN, LOG_SCALE_MAX)
     z = _mixture_z(x, means, log_scales)
-    log_sig_pos = jax.nn.log_sigmoid(z)
-    log_sig_neg = jax.nn.log_sigmoid(-z)
+    log_sig_pos, log_sig_neg = _log_sigmoid_pair(z)
     # logistic log pdf of each component = log_sig_pos + log_sig_neg - log_s
     lse = jax.scipy.special.logsumexp
     log_cdf = lse(log_pi + log_sig_pos, axis=-1)
@@ -173,8 +191,9 @@ def mixture_inverse_logit_cdf(y: Array, pi_logits: Array, means: Array,
     def logit_cdf(x):
         z = (x[..., None] - means) * inv_scales
         lse = jax.scipy.special.logsumexp
-        log_cdf = lse(log_pi + jax.nn.log_sigmoid(z), axis=-1)
-        log_sf = lse(log_pi + jax.nn.log_sigmoid(-z), axis=-1)
+        log_sig_pos, log_sig_neg = _log_sigmoid_pair(z)
+        log_cdf = lse(log_pi + log_sig_pos, axis=-1)
+        log_sf = lse(log_pi + log_sig_neg, axis=-1)
         return log_cdf - log_sf
 
     def bisect_body(_, carry):
@@ -192,8 +211,7 @@ def mixture_inverse_logit_cdf(y: Array, pi_logits: Array, means: Array,
         z = x[..., None] - means
         z = z * inv_scales
         lse = jax.scipy.special.logsumexp
-        log_sig_pos = jax.nn.log_sigmoid(z)
-        log_sig_neg = jax.nn.log_sigmoid(-z)
+        log_sig_pos, log_sig_neg = _log_sigmoid_pair(z)
         log_cdf = lse(log_pi + log_sig_pos, axis=-1)
         log_sf = lse(log_pi + log_sig_neg, axis=-1)
         log_pdf = lse(log_pi + log_sig_pos + log_sig_neg - log_scales, axis=-1)
