@@ -196,7 +196,8 @@ def sample_quality(atoms: np.ndarray, edges: np.ndarray,
     return out
 
 
-def zinc_like_molecule(rng: np.random.Generator, target_atoms: int
+def zinc_like_molecule(rng: np.random.Generator, target_atoms: int,
+                       leaf_style: str = "zinc"
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Generate a STRUCTURED valid molecule graph (drug-like motifs).
 
@@ -212,8 +213,18 @@ def zinc_like_molecule(rng: np.random.Generator, target_atoms: int
 
     Returns (atoms [n], dense adj [n, n]) with n <= target_atoms; always
     valid under ``molecule_validity`` by construction.
+
+    ``leaf_style`` selects the halogen/heteroatom decoration mix:
+    ``"zinc"`` (default — F/Cl/O/N) or ``"moses"`` (adds Br, the visible
+    compositional difference of the Moses benchmark's Clean-Leads subset;
+    SURVEY.md §6 Moses row).
     """
-    C, N, O, F, _, S, Cl, *_ = range(9)
+    C, N, O, F, _, S, Cl, Br, _I = range(9)
+    if leaf_style == "moses":
+        halogen_leaves, halogen_p = [F, Cl, Br, O, N], [0.25, 0.15, 0.10,
+                                                        0.30, 0.20]
+    else:
+        halogen_leaves, halogen_p = [F, Cl, O, N], [0.3, 0.2, 0.3, 0.2]
     atoms: list[int] = []
     bonds: list[tuple[int, int, int]] = []
 
@@ -280,7 +291,7 @@ def zinc_like_molecule(rng: np.random.Generator, target_atoms: int
         if atoms[i] == C and spare(i) >= 2 and rng.random() < 0.15:
             bonds.append((i, add(O), 2))
         elif spare(i) >= 1 and rng.random() < 0.10:
-            leaf = int(rng.choice([F, Cl, O, N], p=[0.3, 0.2, 0.3, 0.2]))
+            leaf = int(rng.choice(halogen_leaves, p=halogen_p))
             bonds.append((i, add(leaf), 1))
     n = len(atoms)
     adj = np.zeros((n, n), np.int64)

@@ -90,6 +90,8 @@ def synthesize_smiles(num: int, max_nodes: int, seed: int,
         n = int(rng.integers(8, max_nodes + 1))
         if style == "zinc_like":
             a, adj = chem.zinc_like_molecule(rng, n)
+        elif style == "moses_like":
+            a, adj = chem.zinc_like_molecule(rng, n, leaf_style="moses")
         else:
             a, adj = chem.random_molecule(rng, n)
         out.append(graph_to_smiles(a, adj))
@@ -102,10 +104,12 @@ def main():
     p.add_argument("--synthetic", type=int, default=0,
                    help="instead of --input, generate N synthetic "
                    "valence-correct molecules (zero-egress stand-in)")
-    p.add_argument("--style", choices=["zinc_like", "uniform"],
+    p.add_argument("--style", choices=["zinc_like", "moses_like", "uniform"],
                    default="zinc_like",
                    help="synthetic generator: structured drug-like motifs "
-                   "(default) or the legacy uniform tree+ring graphs")
+                   "(default), the Moses-composition variant (Br leaves, "
+                   "BASELINE Moses row), or the legacy uniform tree+ring "
+                   "graphs")
     p.add_argument("--name", required=True,
                    help="dataset name (output file {name}.npz)")
     p.add_argument("--out_dir", default=os.environ.get("CNF_DATA_DIR",

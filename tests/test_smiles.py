@@ -187,7 +187,8 @@ def test_preprocess_synthetic_mode():
 def test_graph_to_smiles_roundtrip():
     from categoricalnf_tpu.data.smiles import graph_to_smiles
     rng = np.random.default_rng(7)
-    for style in (chem.zinc_like_molecule, chem.random_molecule):
+    moses = lambda r, n: chem.zinc_like_molecule(r, n, leaf_style="moses")
+    for style in (chem.zinc_like_molecule, moses, chem.random_molecule):
         for _ in range(50):
             a, adj = style(rng, int(rng.integers(2, 22)))
             out = smiles_to_graph(graph_to_smiles(a, adj))
