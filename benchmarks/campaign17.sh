@@ -1,0 +1,112 @@
+#!/bin/bash
+# Round-2 (extended session) queue v3 — replaces campaign16's controller.
+#
+# Rationale for the reorder: the tunnel has been dark since ~23:14 UTC,
+# so the remaining chip-time no longer fits the campaign16 order.  The LM
+# gap target (VERDICT r1 #2, lm_v6 ~3.3h + IS-128) is likely ACHIEVABLE
+# within the round, while molecules->120k (6.5h) can only land partially
+# regardless — so lm_v6 runs first and molecules gets whatever time
+# remains, time-boxed dynamically to leave ~2h for its 1024-sample sweep
+# + lm_bench re-measures + the driver's round-end bench.  Every stage is
+# probe-gated (stage timeouts start only when the tunnel answers) and
+# checkpoints, so preemption loses nothing.
+#
+# Usage: campaign17.sh
+set -u
+cd /root/repo
+
+wait_tpu() {
+  local n=0
+  while ! timeout 90 python -c "import jax; jax.devices()" \
+      > /dev/null 2>&1; do
+    n=$((n + 1))
+    echo "tunnel probe $n failed; retrying in 120s ($(date -u +%H:%M))"
+    sleep 120
+  done
+  echo "tunnel healthy at $(date -u +%H:%M) after $n failed probes"
+}
+
+# Seconds until HH:MM UTC today/tomorrow (always positive, <24h).
+secs_until() {
+  local target now
+  target=$(date -u -d "$1" +%s)
+  now=$(date -u +%s)
+  if [ "$target" -le "$now" ]; then
+    target=$(date -u -d "tomorrow $1" +%s)
+  fi
+  echo $((target - now))
+}
+
+run() {
+  name=$1; tmo=$2; shift 2
+  if [ "$tmo" -lt 300 ]; then
+    echo "=== $name SKIPPED (window $tmo s too small) ==="
+    return
+  fi
+  # No stage STARTS in [10:30, 23:00) UTC: the round ends ~12:00 and the
+  # driver needs a free chip for its round-end bench.py; a stage started
+  # later would hog it (round 3 requeues what's missing).
+  hhmm=$(date -u +%H%M)
+  if [ "$hhmm" -ge 1030 ] && [ "$hhmm" -lt 2300 ]; then
+    echo "=== $name SKIPPED (past the 10:30 UTC start cutoff) ==="
+    return
+  fi
+  wait_tpu
+  echo "=== $name: timeout $tmo $* ==="
+  timeout "$tmo" "$@" > "/tmp/campaign17_${name}.log" 2>&1
+  echo "=== $name done (exit $?) ==="
+  tail -4 "/tmp/campaign17_${name}.log"
+}
+
+# 1. Coloring 75k (VERDICT r1 #5) — short, finishes a verdict item.
+if ! grep -q '"step": 75000' runs/coloring/metrics.jsonl 2>/dev/null; then
+  run coloring_75k 5400 python experiments/graph_coloring/train.py \
+    --num_steps 75000 --eval_every 5000 --eval_samples 8 \
+    --out_dir runs/coloring --log_every 2000 --resume
+fi
+
+run coloring_samples 2400 python experiments/sample_eval.py \
+  --run runs/coloring --temperatures 1.0 --num_samples 1024
+
+# 2. LM gap push (VERDICT r1 #2): lm_v4 arch on the 20M-char corpus.
+run lm_v6 12600 python experiments/language_modeling/train.py \
+  --corpus synthetic --num_steps 50000 --eval_every 5000 --eval_samples 8 \
+  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 3 \
+  --encoding_dim 4 --num_mixtures 16 --lr 5e-4 \
+  --out_dir runs/lm_v6 --log_every 2000
+
+run lm_v6_is128 3600 python experiments/eval_bpd.py \
+  --run runs/lm_v6 --num_samples 128 --split test
+
+# 3. Molecules resume (VERDICT r1 #1): gets the remaining window, cut at
+#    09:45 UTC to leave room for the sweep + benches before round end.
+MOL_TMO=$(secs_until "09:45")
+# If we're already past 09:45 (secs_until wrapped to tomorrow), skip.
+if [ "$MOL_TMO" -gt 43200 ]; then MOL_TMO=0; fi
+run molecules_v5_resume "$MOL_TMO" \
+  python experiments/molecule_generation/train.py \
+  --dataset zinclike250k --data_dir data --max_nodes 24 \
+  --num_steps 120000 --eval_every 10000 --eval_samples 4 --batch_size 192 \
+  --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8 \
+  --num_mixtures 16 --out_dir runs/molecules_v5 --log_every 2000 --resume
+
+# Sweep only if the resume actually advanced past the already-measured
+# 20k checkpoint (otherwise it would re-measure known numbers).
+if python - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from categoricalnf_tpu.training.checkpoint import CheckpointManager
+step = CheckpointManager("runs/molecules_v5").latest_step() or 0
+sys.exit(0 if step > 20000 else 1)
+EOF
+then
+  run molecules_v5_samples2 4200 python experiments/sample_eval.py \
+    --run runs/molecules_v5 --temperatures 1.0,0.85,0.7 --num_samples 1024
+fi
+
+run lm_bench_lstm 2400 python benchmarks/lm_bench.py --net lstm
+
+run lm_v4_is128 3600 python experiments/eval_bpd.py \
+  --run runs/lm_v4 --num_samples 128 --split test
+
+echo "campaign17 complete"
