@@ -104,6 +104,19 @@ def test_against_torch_oracle(rng):
     np.testing.assert_allclose(np.asarray(ldj_jax), ldj_t, rtol=1e-3, atol=2e-4)
 
 
+def test_log_sigmoid_pair_matches_two_calls():
+    """The shared-softplus pair (log σ(z), log σ(-z)) must equal two
+    direct log_sigmoid calls to fp32 roundoff across both tails — the
+    identity log σ(-z) = log σ(z) − z is exact; only sub-resolution
+    absorption in the far tail is tolerated (PERFORMANCE.md)."""
+    z = jnp.asarray(np.concatenate([np.linspace(-80, 80, 2001),
+                                    [-1e4, 1e4, 0.0]]), jnp.float32)
+    p, n = nm._log_sigmoid_pair(z)
+    assert np.allclose(p, jax.nn.log_sigmoid(z), atol=0, rtol=0)
+    assert np.max(np.abs(np.asarray(n - jax.nn.log_sigmoid(-z)))) < 1e-5
+    assert np.all(np.asarray(p) <= 0) and np.all(np.asarray(n) <= 0)
+
+
 def test_log1mexp():
     x = jnp.array([-1e-4, -0.1, -1.0, -10.0, -40.0])
     expected = np.log1p(-np.exp(np.asarray(x, np.float64)))
