@@ -81,11 +81,15 @@ class RunHandle:
         return self.task.sample_metrics(self.params, rng, **kw)
 
 
-def load_run(run_dir: str) -> RunHandle:
+def load_run(run_dir: str, **overrides) -> RunHandle:
+    """Restore a run for inference.  ``overrides`` replace saved config
+    args at task-build time (e.g. ``compute_dtype="float32"`` — likelihood
+    CLAIMS should be made under fp32 compute; the bf16 train-time model is
+    a slightly different density)."""
     cfg = load_config(run_dir)
     if cfg is None:
         raise FileNotFoundError(f"no config.json in {run_dir}")
-    task = build_task(cfg["task"], cfg.get("args", {}))
+    task = build_task(cfg["task"], {**cfg.get("args", {}), **overrides})
     # Raw restore (no target tree): inference only needs the params, and
     # our param PyTrees are plain dicts/lists, which round-trip as-is.
     ckpt = CheckpointManager(run_dir)

@@ -133,13 +133,14 @@ class MoleculeTask(TaskTemplate):
                                    batch["node_mask"], rng, beta)
 
     def eval_step(self, params, batch, rng, num_samples):
-        bpd = self.model.eval_bpd(params, batch["atoms"], batch["edges"],
-                                  batch["node_mask"], rng, num_samples)
+        bpd = self.eval_model.eval_bpd(params, batch["atoms"],
+                                       batch["edges"], batch["node_mask"],
+                                       rng, num_samples)
         return bpd + self.eval_bpd_extra(batch)
 
     def elbo(self, params, batch, rng):
-        return self.model.elbo(params, batch["atoms"], batch["edges"],
-                               batch["node_mask"], rng)["elbo"]
+        return self.eval_model.elbo(params, batch["atoms"], batch["edges"],
+                                    batch["node_mask"], rng)["elbo"]
 
     def num_vars(self, batch):
         n = jnp.asarray(batch["node_mask"], jnp.float32).sum(-1)

@@ -48,9 +48,16 @@ def main():
     ap.add_argument("--no_write", action="store_true",
                     help="print only; do not append to metrics.jsonl "
                          "(use for smoke probes)")
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="override the run's compute dtype for this eval "
+                         "(fp32 recommended for headline likelihoods: the "
+                         "bf16 model is a slightly different density)")
     args = ap.parse_args()
 
-    handle = load_run(args.run)
+    overrides = ({"compute_dtype": args.compute_dtype}
+                 if args.compute_dtype else {})
+    handle = load_run(args.run, **overrides)
     task = handle.task
     batches = (task.test_batches() if args.split == "test"
                else task.eval_batches())
@@ -70,6 +77,7 @@ def main():
            "bpd": float(np.mean(np.concatenate(bpds))),
            "num_importance_samples": args.num_samples,
            "num_batches": len(bpds),
+           "compute_dtype": args.compute_dtype or "run-default",
            # partial-split probes must never displace a full-split test
            # bpd in summaries (summarize_runs skips partial rows)
            "partial": bool(args.max_batches)}
