@@ -164,14 +164,24 @@ class Trainer:
                     params=restored["params"],
                     opt_state=restored["opt_state"])
                 start_step = int(restored["step"])
-                # seed best_bpd from the best-checkpoint metrics so the
-                # first post-resume eval can't displace the historical
-                # best (ADVICE r1 medium).
-                m = ckpt.latest_metrics()
-                if m and "bpd" in m:
-                    best_bpd = float(m["bpd"])
+                # Seed best_bpd so the first post-resume eval can't
+                # displace the historical best (ADVICE r1 medium) — but
+                # RE-EVALUATE the best checkpoint's params under the
+                # CURRENT eval instead of trusting its saved metrics:
+                # eval definitions change between sessions (e.g. the
+                # fp32 eval twin replacing TPU-bf16-inflated bounds),
+                # and a stale too-low number would silently block every
+                # best-checkpoint update for the whole resumed run.
+                best_restored = ckpt.restore_latest()
+                if best_restored is not None:
+                    bp = jax.device_put(best_restored["params"],
+                                        self._replicated)
+                    best_bpd = self.evaluate(
+                        bp, num_samples=cfg.eval_samples,
+                        rng=jax.random.fold_in(rng, 2**30 - 1))["bpd"]
                 print(f"resumed from step {start_step} "
-                      f"(best_bpd {best_bpd:.4f})", flush=True)
+                      f"(best_bpd {best_bpd:.4f}, re-evaluated)",
+                      flush=True)
         # Replicate the full train state across the mesh explicitly.
         state = jax.device_put(state, self._replicated)
 

@@ -57,6 +57,38 @@ def test_checkpoint_resume(tmp_path):
     assert int(t2._final_state.step) == 12
 
 
+def test_resume_reseeds_best_from_reeval(tmp_path):
+    """A stale (too-low) saved metrics record must not block
+    best-checkpoint updates after resume: best_bpd is RE-EVALUATED from
+    the best checkpoint's params under the CURRENT eval definition (the
+    fp32-eval-twin correction changed eval numbers between sessions)."""
+    import glob
+    import json
+    import os
+
+    task = _tiny_task()
+    out = str(tmp_path / "run")
+    cfg = TrainConfig(num_steps=10, eval_every=5, eval_samples=1,
+                      log_every=100, out_dir=out)
+    Trainer(task, cfg).train(resume=False)
+    # poison the saved best metrics with an unbeatable bpd
+    for mp in glob.glob(os.path.join(out, "checkpoints", "*",
+                                     "metrics.json")):
+        with open(mp, "w") as f:
+            json.dump({"bpd": 1e-6}, f)
+    steps_before = {os.path.basename(p) for p in
+                    glob.glob(os.path.join(out, "checkpoints", "step_*"))}
+    cfg2 = TrainConfig(num_steps=20, eval_every=5, eval_samples=1,
+                       log_every=100, out_dir=out)
+    Trainer(task, cfg2).train(resume=True)
+    steps_after = {os.path.basename(p) for p in
+                   glob.glob(os.path.join(out, "checkpoints", "step_*"))}
+    # the resumed run keeps training and must be ABLE to save a new best
+    # (with the stale 1e-6 seed it never could; with re-eval it does as
+    # soon as an eval improves on the true restored-params bpd)
+    assert steps_after - steps_before, (steps_before, steps_after)
+
+
 def test_trainer_test_split_eval(tmp_path):
     task = _tiny_task()
     cfg = TrainConfig(num_steps=5, eval_every=5, eval_samples=1,
