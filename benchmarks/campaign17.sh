@@ -68,14 +68,15 @@ fi
 run coloring_samples 2400 python experiments/sample_eval.py \
   --run runs/coloring --temperatures 1.0 --num_samples 1024
 
-# 2. LM gap push (VERDICT r1 #2): lm_v4 arch on the 20M-char corpus,
-#    K=32 mixtures (CPU IS-extrapolation on lm_v4 shows the variational
-#    gap is only ~0.04 of the ~0.23 test gap — the deficit is transform
-#    expressivity, and the shared log-sigmoid pair halved the CDF chain
-#    cost, so K 16->32 lands at roughly the old per-step cost).
-run lm_v6 13800 python experiments/language_modeling/train.py \
+# 2. LM gap push (VERDICT r1 #2): scaled-up arch on the 20M-char corpus.
+#    The honest (fp32-eval) lm_v4 gap is 0.208, not the bf16-inflated
+#    0.154, and IS-extrapolation shows only ~0.04 of it is the IW bound —
+#    the deficit is transform expressivity.  So: 4 blocks (was 3) and
+#    K=32 mixtures (was 16; the shared log-sigmoid pair halved the CDF
+#    chain cost, so K doubles at roughly the old cost).
+run lm_v6 15000 python experiments/language_modeling/train.py \
   --corpus synthetic --num_steps 50000 --eval_every 5000 --eval_samples 8 \
-  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 3 \
+  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
   --encoding_dim 4 --num_mixtures 32 --lr 5e-4 \
   --out_dir runs/lm_v6 --log_every 2000
 
