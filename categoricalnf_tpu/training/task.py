@@ -27,9 +27,13 @@ def force_f32(obj):
             if not f.init:
                 continue
             v = getattr(obj, f.name)
-            nv = "float32" if f.name == "compute_dtype" else force_f32(v)
-            if nv is not v and nv != v:
-                changes[f.name] = nv
+            if f.name == "compute_dtype":
+                if v != "float32":
+                    changes[f.name] = "float32"
+            else:
+                nv = force_f32(v)
+                if nv is not v:  # identity only — v may be an array
+                    changes[f.name] = nv
         return dataclasses.replace(obj, **changes) if changes else obj
     if isinstance(obj, tuple):
         new = tuple(force_f32(v) for v in obj)
