@@ -61,6 +61,25 @@ def main():
     from categoricalnf_tpu.utils.jax_setup import setup_jax
     setup_jax()
 
+    # If the TPU tunnel is unreachable, fall back to CPU so the driver
+    # still records a self-describing measurement instead of nothing.
+    # The probe runs in a SUBPROCESS with a hard timeout because a dead
+    # tunnel makes jax.devices() spin in the axon claim-retry loop for
+    # ~30 min before erroring.  The JSON carries the device kind; a CPU
+    # number is NOT comparable to the TPU rows in BENCH_r*.json.
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, check=True, capture_output=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print("TPU tunnel unreachable (bounded probe failed); "
+                  "falling back to CPU", flush=True)
+            jax.config.update("jax_platforms", "cpu")
+
     batch_size = 1024
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
@@ -104,11 +123,13 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_s = n_steps * batch_size / dt
+    dev = jax.devices()[0]
     out = {
         "metric": "set_shuffling_train_samples_per_s",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": None,
+        "device": getattr(dev, "device_kind", None) or dev.platform,
     }
     if flops is not None:
         flops_per_s = flops * n_steps / dt
