@@ -70,9 +70,11 @@ def build_node_flow(dim: int, num_layers: int, hidden_dim: int,
 
 def build_edge_flow(dim: int, max_nodes: int, cond_node_dim: int,
                     edge_feat_dim: int, num_layers: int, hidden_dim: int,
-                    num_mixtures: int, compute_dtype: str):
+                    num_mixtures: int, compute_dtype: str,
+                    degree_norm: str = "nodes"):
     net = EdgeGNN(num_nodes=max_nodes, hidden_dim=hidden_dim,
                   num_layers=2, edge_feat_dim=edge_feat_dim,
+                  degree_norm=degree_norm,
                   compute_dtype=compute_dtype)
 
     def sub(parity):
@@ -97,6 +99,15 @@ class GraphCNF:
     num_layers_edge: int = 4
     hidden_dim: int = 96
     num_mixtures: int = 8
+    # Round-2 diagnostics levers (default off for checkpoint compat):
+    # edge_degree_norm="live_edges" normalises EdgeGNN edge→node messages
+    # by the live-edge degree (the bond stage's live mask is ~5× sparser
+    # than the pair mask); bond_cond_exist=True conditions the bond stage
+    # on the DECODED existence one-hots alongside z_e1 (deterministic
+    # decode of a latent available identically in both directions, so
+    # generation consistency is preserved).
+    edge_degree_norm: str = "nodes"
+    bond_cond_exist: bool = False
     compute_dtype: str = "float32"
 
     @property
@@ -129,14 +140,32 @@ class GraphCNF:
     def flow_exist(self):
         return build_edge_flow(self.exist_dim, self.max_nodes, self.node_dim,
                                0, self.num_layers_edge, self.hidden_dim,
-                               self.num_mixtures, self.compute_dtype)
+                               self.num_mixtures, self.compute_dtype,
+                               degree_norm=self.edge_degree_norm)
 
     @property
     def flow_bond(self):
+        feat = self.exist_dim + (2 if self.bond_cond_exist else 0)
         return build_edge_flow(self.bond_dim, self.max_nodes, self.node_dim,
-                               self.exist_dim, self.num_layers_edge,
+                               feat, self.num_layers_edge,
                                self.hidden_dim, self.num_mixtures,
-                               self.compute_dtype)
+                               self.compute_dtype,
+                               degree_norm=self.edge_degree_norm)
+
+    def _bond_edge_feat(self, z_e1: Array, exist: Array,
+                        e_mask: Array) -> Array:
+        """Bond-stage conditioning features: z_e1 (+ decoded-exist one-hot).
+
+        ``exist`` is the data labels in the density direction and the
+        decoded stage-2 output at sampling — identical by construction for
+        the graph the sample realises.  The one-hot is gated by e_mask so
+        padded pairs carry the same (zero) features in both directions.
+        """
+        if not self.bond_cond_exist:
+            return z_e1
+        oh = jax.nn.one_hot(exist, 2, dtype=jnp.float32)
+        oh = oh * jnp.asarray(e_mask, jnp.float32)[..., None]
+        return jnp.concatenate([jnp.asarray(z_e1, jnp.float32), oh], axis=-1)
 
     def init(self, rng: jax.Array):
         ks = jax.random.split(rng, 6)
@@ -183,7 +212,7 @@ class GraphCNF:
         lp_e1 = self.flow_exist.log_prob(params["flow_exist"], z_e1,
                                          cond=cond_e1, mask=e_mask)
         cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
-                   "edge_feat": z_e1}
+                   "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)}
         lp_e2 = self.flow_bond.log_prob(params["flow_bond"], z_e2,
                                         cond=cond_e2, mask=bond_mask)
 
@@ -280,7 +309,7 @@ class GraphCNF:
         zp_e2 = self.flow_bond.prior.sample(k3, (B, self.num_edges,
                                                  self.bond_dim), temperature)
         cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
-                   "edge_feat": z_e1}
+                   "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)}
         z_e2, _ = self.flow_bond.inverse(params["flow_bond"], zp_e2,
                                          cond=cond_e2, mask=bond_mask)
         bond = self.enc_bond.decode(params["enc_bond"], z_e2)
@@ -313,5 +342,6 @@ class GraphCNF:
         params["flow_bond"] = self.flow_bond.data_init(
             params["flow_bond"], z_e2,
             cond={"node_feat": z_v, "node_mask": node_mask,
-                  "edge_feat": z_e1}, mask=bond_mask)
+                  "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)},
+            mask=bond_mask)
         return params

@@ -130,6 +130,14 @@ class EdgeGNN:
     hidden_dim: int = 96
     num_layers: int = 3
     edge_feat_dim: int = 0  # extra edge features from cond["edge_feat"]
+    # Edge→node aggregation normaliser.  "nodes": divide by N_live−1 (the
+    # dense-graph degree) — correct for the existence stage, where every
+    # live node pair is a live edge.  "live_edges": divide by the node's
+    # LIVE-edge count incᵀ·emask — in the bond stage only the ~2–4
+    # existing bonds per node are live, so "nodes" under-scales messages
+    # ~5× (diagnosed round 2: systematic double-bond undersampling).  The
+    # two coincide whenever the transform mask equals the full pair mask.
+    degree_norm: str = "nodes"
     compute_dtype: str = "float32"
 
     @property
@@ -197,7 +205,11 @@ class EdgeGNN:
             agg = jnp.einsum("en,beh->bnh", inc.astype(self._dtype),
                              he_m.astype(self._dtype),
                              preferred_element_type=jnp.float32)
-            deg = jnp.maximum(vmask.sum(-1, keepdims=True) - 1.0, 1.0)
+            if self.degree_norm == "live_edges":
+                deg = jnp.maximum(
+                    jnp.einsum("en,be->bn", inc, emask), 1.0)  # [B, N]
+            else:
+                deg = jnp.maximum(vmask.sum(-1, keepdims=True) - 1.0, 1.0)
             hv = hv + jax.nn.gelu(agg / deg[..., None])
             hv = hv + dense(bp["v_mlp"], jax.nn.gelu(layer_norm(hv)),
                             self._dtype)

@@ -79,6 +79,8 @@ class MoleculeTask(TaskTemplate):
     num_layers_edge: int = 4
     hidden_dim: int = 96
     num_mixtures: int = 8
+    edge_degree_norm: str = "nodes"
+    bond_cond_exist: bool = False
     eval_batches_count: int = 8
     metric_samples: int = 1024
     synth_size: int = 2048
@@ -95,6 +97,8 @@ class MoleculeTask(TaskTemplate):
             num_layers_node=self.num_layers_node,
             num_layers_edge=self.num_layers_edge,
             hidden_dim=self.hidden_dim, num_mixtures=self.num_mixtures,
+            edge_degree_norm=self.edge_degree_norm,
+            bond_cond_exist=self.bond_cond_exist,
             compute_dtype=self.compute_dtype)
         # categorical prior over node count (+1 smoothing)
         counts = np.bincount(self.data["num_atoms"],

@@ -30,6 +30,13 @@ def main():
     p.add_argument("--max_nodes", type=int, default=38)
     p.add_argument("--num_layers_node", type=int, default=4)
     p.add_argument("--num_layers_edge", type=int, default=4)
+    p.add_argument("--edge_degree_norm", type=str, default="nodes",
+                   choices=["nodes", "live_edges"],
+                   help="EdgeGNN edge->node normaliser; live_edges scales "
+                   "bond-stage messages by the live-bond degree")
+    p.add_argument("--bond_cond_exist", action="store_true",
+                   help="condition the bond stage on decoded existence "
+                   "one-hots alongside z_e1")
     p.set_defaults(batch_size=64)
     args = p.parse_args()
     task = MoleculeTask(
@@ -38,6 +45,8 @@ def main():
         num_layers_node=args.num_layers_node,
         num_layers_edge=args.num_layers_edge,
         hidden_dim=args.hidden_dim, num_mixtures=args.num_mixtures,
+        edge_degree_norm=args.edge_degree_norm,
+        bond_cond_exist=args.bond_cond_exist,
         compute_dtype=args.compute_dtype)
     final = run_training(task, args)
     print(f"best bpd {final['best_bpd']:.4f} | "
