@@ -1,0 +1,110 @@
+#!/bin/bash
+# Round-2 (second extension) queue — replaces campaign17's controller.
+#
+# The round restarted fresh at ~07:52 UTC Aug 18 (ends ~19:50), so the
+# 10:30 stage-start cutoff and the 09:45 molecule time-box no longer
+# apply.  Priorities per VERDICT r1: top_next is molecule raw validity,
+# and this session landed the two diagnosed bond-stage levers
+# (edge_degree_norm=live_edges + bond_cond_exist), so a fresh
+# molecules_v6 with both levers takes the big window; the LM gap run
+# (lm_v6) gets the remainder.  Every stage is probe-gated (timeouts
+# start only once the tunnel answers) and checkpointed.
+#
+# Usage: campaign18.sh
+set -u
+cd /root/repo
+
+wait_tpu() {
+  local n=0
+  while ! timeout 90 python -c "import jax; jax.devices()" \
+      > /dev/null 2>&1; do
+    n=$((n + 1))
+    echo "tunnel probe $n failed; retrying in 120s ($(date -u +%H:%M))"
+    sleep 120
+  done
+  echo "tunnel healthy at $(date -u +%H:%M) after $n failed probes"
+}
+
+# Seconds until HH:MM UTC today/tomorrow (always positive, <24h).
+secs_until() {
+  local target now
+  target=$(date -u -d "$1" +%s)
+  now=$(date -u +%s)
+  if [ "$target" -le "$now" ]; then
+    target=$(date -u -d "tomorrow $1" +%s)
+  fi
+  echo $((target - now))
+}
+
+# Cap a stage timeout at the remaining window before HH:MM.
+cap_at() {
+  local tmo=$1 cutoff=$2 left
+  left=$(secs_until "$cutoff")
+  if [ "$left" -gt 43200 ]; then left=0; fi   # already past today
+  if [ "$tmo" -gt "$left" ]; then tmo=$left; fi
+  echo "$tmo"
+}
+
+run() {
+  name=$1; tmo=$2; shift 2
+  tmo=$(cap_at "$tmo" "17:45")
+  if [ "$tmo" -lt 300 ]; then
+    echo "=== $name SKIPPED (window $tmo s too small) ==="
+    return
+  fi
+  wait_tpu
+  tmo=$(cap_at "$tmo" "17:45")   # re-cap: probing may have eaten hours
+  if [ "$tmo" -lt 300 ]; then
+    echo "=== $name SKIPPED post-probe (window too small) ==="
+    return
+  fi
+  echo "=== $name: timeout $tmo $* ==="
+  timeout "$tmo" "$@" > "/tmp/campaign18_${name}.log" 2>&1
+  echo "=== $name done (exit $?) ==="
+  tail -4 "/tmp/campaign18_${name}.log"
+}
+
+# 1. Coloring 75k (VERDICT r1 #5) — short, finishes a verdict item.
+if ! grep -q '"step": 75000' runs/coloring/metrics.jsonl 2>/dev/null; then
+  run coloring_75k 5400 python experiments/graph_coloring/train.py \
+    --num_steps 75000 --eval_every 5000 --eval_samples 8 \
+    --out_dir runs/coloring --log_every 2000 --resume
+fi
+
+run coloring_samples 2400 python experiments/sample_eval.py \
+  --run runs/coloring --temperatures 1.0 --num_samples 1024
+
+# 2. molecules_v6 (VERDICT r1 #1 / top_next): v5 architecture + both
+#    bond-stage levers, fresh train. Time-boxed to leave the LM window.
+MOL_TMO=$(cap_at 99999 "14:15")
+run molecules_v6 "$MOL_TMO" \
+  python experiments/molecule_generation/train.py \
+  --dataset zinclike250k --data_dir data --max_nodes 24 \
+  --num_steps 80000 --eval_every 5000 --eval_samples 4 --batch_size 192 \
+  --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8 \
+  --num_mixtures 16 --edge_degree_norm live_edges --bond_cond_exist \
+  --out_dir runs/molecules_v6 --log_every 2000
+
+run molecules_v6_samples 4200 python experiments/sample_eval.py \
+  --run runs/molecules_v6 --temperatures 1.0,0.85,0.7 --num_samples 1024
+
+run molecules_v6_diag 1800 python benchmarks/molecule_diagnostics.py \
+  --run runs/molecules_v6 --num_samples 128
+
+# 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus.
+LM_TMO=$(cap_at 15000 "17:30")
+run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
+  --corpus synthetic --num_steps 50000 --eval_every 5000 --eval_samples 8 \
+  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
+  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 \
+  --out_dir runs/lm_v6 --log_every 2000
+
+run lm_v6_is128 3600 python experiments/eval_bpd.py \
+  --run runs/lm_v6 --num_samples 128 --split test
+
+run lm_bench_lstm 2400 python benchmarks/lm_bench.py --net lstm
+
+run lm_v4_is128 3600 python experiments/eval_bpd.py \
+  --run runs/lm_v4 --num_samples 128 --split test
+
+echo "campaign18 complete"
