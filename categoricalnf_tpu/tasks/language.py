@@ -165,7 +165,8 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
                   compute_dtype: str = "bfloat16",
                   scan_blocks: bool = True,
                   channel_coupling: bool = True,
-                  net: str = "lstm", seq_len: int = 512) -> flows.FlowModel:
+                  net: str = "lstm", seq_len: int = 512,
+                  input_feats: int = 0) -> flows.FlowModel:
     """LM flow: autoregressive in time AND (by default) coupling in
     channels — the reference's design (SURVEY.md C5+C15).  Each block has
     both parities so every channel transforms with within-step context;
@@ -191,7 +192,8 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
 
     def ar(parity):
         return flows.AutoregressiveMixtureCDF(
-            net=make_net(parity), num_mixtures=num_mixtures, parity=parity)
+            net=make_net(parity), num_mixtures=num_mixtures, parity=parity,
+            input_feats=input_feats)
 
     if channel_coupling:
         block = (flows.ActNorm(), flows.InvertibleLinear(), ar(0),
@@ -224,6 +226,9 @@ class LanguageModelingTask(TaskTemplate):
     lstm_layers: int = 2
     num_mixtures: int = 16
     net: str = "lstm"
+    # V-component soft-classifier features of z_{t-1} fed to the causal
+    # nets (0 = off; the natural setting is the vocab size).
+    input_feats: int = 0
     eval_batches_count: int = 8
     compute_dtype: str = "bfloat16"
     name: str = "language_modeling"
@@ -239,7 +244,8 @@ class LanguageModelingTask(TaskTemplate):
             flow=build_lm_flow(enc.dim, self.num_layers, self.hidden_dim,
                                self.lstm_layers, self.num_mixtures,
                                self.compute_dtype, net=self.net,
-                               seq_len=self.seq_len))
+                               seq_len=self.seq_len,
+                               input_feats=self.input_feats))
 
     def _chunks(self, split: str, rng: np.random.Generator,
                 n: int) -> np.ndarray:

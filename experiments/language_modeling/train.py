@@ -30,6 +30,9 @@ def main():
                    choices=["lstm", "transformer"],
                    help="causal coupling backbone (transformer = "
                    "scan-free attention training pass, KV-cache sampling)")
+    p.add_argument("--input_feats", type=int, default=0,
+                   help="V-component soft-classifier features of z_{t-1} "
+                   "fed to the causal nets (0 = off; natural V = vocab)")
     p.set_defaults(batch_size=128, encoding_dim=3, num_layers=2,
                    hidden_dim=512, num_mixtures=16)
     args = p.parse_args()
@@ -39,7 +42,8 @@ def main():
         encoding_name=args.encoding, encoding_dim=args.encoding_dim,
         num_layers=args.num_layers, hidden_dim=args.hidden_dim,
         lstm_layers=args.lstm_layers, num_mixtures=args.num_mixtures,
-        net=args.net, compute_dtype=args.compute_dtype)
+        net=args.net, input_feats=args.input_feats,
+        compute_dtype=args.compute_dtype)
     final = run_training(task, args)
     opt = task.analytic_optimum_bpd()
     extra = f" | analytic optimum {opt:.4f}" if opt else ""

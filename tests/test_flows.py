@@ -189,6 +189,42 @@ def test_autoregressive_channel_coupling_uses_current_step(rng, z):
                                atol=1e-5)
 
 
+def _randomize_head(rng, params):
+    params = dict(params)
+    net_p = dict(params["net"])
+    net_p["out"] = dict(net_p["out"])
+    net_p["out"]["w"] = jax.random.normal(rng, net_p["out"]["w"].shape) * 0.1
+    params["net"] = net_p
+    return params
+
+
+def test_autoregressive_input_feats_roundtrip(rng, z):
+    """Soft-classifier input features (input_feats>0) must keep the exact
+    sequential inverse: the density pass concatenates feats(z_{t-1}) into
+    the shifted net input, and the sampling scan reproduces the same
+    features from its own reconstructed outputs."""
+    for parity in (None, 0):
+        net = networks.CausalLSTM(
+            hidden_dim=32, extra_dim=D if parity is not None else 0,
+            compute_dtype="float32")
+        layer = flows.AutoregressiveMixtureCDF(net=net, num_mixtures=4,
+                                               parity=parity, input_feats=5)
+        params = layer.init(rng, D, 0)
+        # randomise the zero-init head so the features influence the map
+        params = _randomize_head(jax.random.fold_in(rng, 7), params)
+        ldj0 = jnp.zeros(B, jnp.float32)
+        zf, ldj_f = layer.forward(params, z, ldj0)
+        zr, ldj_r = layer.inverse(params, zf, ldj_f)
+        np.testing.assert_allclose(np.asarray(zr), np.asarray(z),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(ldj_r), 0.0, atol=5e-4)
+        # the features must actually matter: zeroing them changes outputs
+        p0 = dict(params)
+        p0["feat"] = jax.tree.map(jnp.zeros_like, params["feat"])
+        zf0, _ = layer.forward(p0, z, ldj0)
+        assert not np.allclose(np.asarray(zf), np.asarray(zf0), atol=1e-6)
+
+
 def test_autoregressive_causality(rng, z):
     """Output at position t must not depend on inputs at positions >= t."""
     net = networks.CausalLSTM(hidden_dim=32, compute_dtype="float32")
