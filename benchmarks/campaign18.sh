@@ -83,6 +83,7 @@ run molecules_v6 "$MOL_TMO" \
   --num_steps 80000 --eval_every 5000 --eval_samples 4 --batch_size 192 \
   --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8 \
   --num_mixtures 16 --edge_degree_norm live_edges --bond_cond_exist \
+  --node_cond_atoms \
   --out_dir runs/molecules_v6 --log_every 2000
 
 run molecules_v6_samples 4200 python experiments/sample_eval.py \

@@ -108,6 +108,12 @@ class GraphCNF:
     # generation consistency is preserved).
     edge_degree_norm: str = "nodes"
     bond_cond_exist: bool = False
+    # node_cond_atoms=True conditions stages 2-3 on the DECODED atom-type
+    # one-hots alongside z_v (atoms are decoded before stage 2 when
+    # sampling; data labels in the density direction) — chemistry is
+    # atom-type-driven, and the GNN's linear embeddings recover the type
+    # from the 6-d latent only weakly.
+    node_cond_atoms: bool = False
     compute_dtype: str = "float32"
 
     @property
@@ -152,6 +158,25 @@ class GraphCNF:
                                self.compute_dtype,
                                degree_norm=self.edge_degree_norm)
 
+    @property
+    def _cond_node_dim(self) -> int:
+        return self.node_dim + (self.num_atom_types if self.node_cond_atoms
+                                else 0)
+
+    def _node_feat(self, z_v: Array, atoms: Array, node_mask: Array) -> Array:
+        """Stage-2/3 node conditioning: z_v (+ decoded-atom one-hots).
+
+        ``atoms`` is the data labels in the density direction and the
+        decoded stage-1 output at sampling — identical by construction for
+        the graph the sample realises.  One-hots are gated by node_mask so
+        padded nodes carry zero features in both directions.
+        """
+        if not self.node_cond_atoms:
+            return z_v
+        oh = jax.nn.one_hot(atoms, self.num_atom_types, dtype=jnp.float32)
+        oh = oh * jnp.asarray(node_mask, jnp.float32)[..., None]
+        return jnp.concatenate([jnp.asarray(z_v, jnp.float32), oh], axis=-1)
+
     def _bond_edge_feat(self, z_e1: Array, exist: Array,
                         e_mask: Array) -> Array:
         """Bond-stage conditioning features: z_e1 (+ decoded-exist one-hot).
@@ -175,9 +200,9 @@ class GraphCNF:
             "enc_bond": self.enc_bond.init(ks[2]),
             "flow_node": self.flow_node.init(ks[3], self.node_dim, 0),
             "flow_exist": self.flow_exist.init(ks[4], self.exist_dim,
-                                               self.node_dim),
+                                               self._cond_node_dim),
             "flow_bond": self.flow_bond.init(ks[5], self.bond_dim,
-                                             self.node_dim),
+                                             self._cond_node_dim),
         }
 
     # masks ---------------------------------------------------------------
@@ -208,10 +233,11 @@ class GraphCNF:
         # flow log-probs (three stages, generation-consistent conds)
         lp_v = self.flow_node.log_prob(params["flow_node"], z_v,
                                        mask=node_mask)
-        cond_e1 = {"node_feat": z_v, "node_mask": node_mask}
+        node_feat = self._node_feat(z_v, atoms, node_mask)
+        cond_e1 = {"node_feat": node_feat, "node_mask": node_mask}
         lp_e1 = self.flow_exist.log_prob(params["flow_exist"], z_e1,
                                          cond=cond_e1, mask=e_mask)
-        cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
+        cond_e2 = {"node_feat": node_feat, "node_mask": node_mask,
                    "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)}
         lp_e2 = self.flow_bond.log_prob(params["flow_bond"], z_e2,
                                         cond=cond_e2, mask=bond_mask)
@@ -292,7 +318,8 @@ class GraphCNF:
         zp_e1 = self.flow_exist.prior.sample(k2, (B, self.num_edges,
                                                   self.exist_dim),
                                              temperature)
-        cond_e1 = {"node_feat": z_v, "node_mask": node_mask}
+        node_feat = self._node_feat(z_v, atoms, node_mask)
+        cond_e1 = {"node_feat": node_feat, "node_mask": node_mask}
         z_e1, _ = self.flow_exist.inverse(params["flow_exist"], zp_e1,
                                           cond=cond_e1, mask=e_mask)
         exist = self.enc_exist.decode(params["enc_exist"], z_e1)
@@ -308,7 +335,7 @@ class GraphCNF:
         bond_mask = e_mask * exist.astype(jnp.float32)
         zp_e2 = self.flow_bond.prior.sample(k3, (B, self.num_edges,
                                                  self.bond_dim), temperature)
-        cond_e2 = {"node_feat": z_v, "node_mask": node_mask,
+        cond_e2 = {"node_feat": node_feat, "node_mask": node_mask,
                    "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)}
         z_e2, _ = self.flow_bond.inverse(params["flow_bond"], zp_e2,
                                          cond=cond_e2, mask=bond_mask)
@@ -336,12 +363,14 @@ class GraphCNF:
         params = dict(params)
         params["flow_node"] = self.flow_node.data_init(
             params["flow_node"], z_v, mask=node_mask)
+        node_feat = self._node_feat(z_v, atoms, node_mask)
         params["flow_exist"] = self.flow_exist.data_init(
             params["flow_exist"], z_e1,
-            cond={"node_feat": z_v, "node_mask": node_mask}, mask=e_mask)
+            cond={"node_feat": node_feat, "node_mask": node_mask},
+            mask=e_mask)
         params["flow_bond"] = self.flow_bond.data_init(
             params["flow_bond"], z_e2,
-            cond={"node_feat": z_v, "node_mask": node_mask,
+            cond={"node_feat": node_feat, "node_mask": node_mask,
                   "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)},
             mask=bond_mask)
         return params

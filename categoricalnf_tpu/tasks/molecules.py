@@ -81,6 +81,7 @@ class MoleculeTask(TaskTemplate):
     num_mixtures: int = 8
     edge_degree_norm: str = "nodes"
     bond_cond_exist: bool = False
+    node_cond_atoms: bool = False
     eval_batches_count: int = 8
     metric_samples: int = 1024
     synth_size: int = 2048
@@ -99,6 +100,7 @@ class MoleculeTask(TaskTemplate):
             hidden_dim=self.hidden_dim, num_mixtures=self.num_mixtures,
             edge_degree_norm=self.edge_degree_norm,
             bond_cond_exist=self.bond_cond_exist,
+            node_cond_atoms=self.node_cond_atoms,
             compute_dtype=self.compute_dtype)
         # categorical prior over node count (+1 smoothing)
         counts = np.bincount(self.data["num_atoms"],

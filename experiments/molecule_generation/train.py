@@ -37,6 +37,9 @@ def main():
     p.add_argument("--bond_cond_exist", action="store_true",
                    help="condition the bond stage on decoded existence "
                    "one-hots alongside z_e1")
+    p.add_argument("--node_cond_atoms", action="store_true",
+                   help="condition stages 2-3 on decoded atom-type "
+                   "one-hots alongside z_v")
     p.set_defaults(batch_size=64)
     args = p.parse_args()
     task = MoleculeTask(
@@ -47,6 +50,7 @@ def main():
         hidden_dim=args.hidden_dim, num_mixtures=args.num_mixtures,
         edge_degree_norm=args.edge_degree_norm,
         bond_cond_exist=args.bond_cond_exist,
+        node_cond_atoms=args.node_cond_atoms,
         compute_dtype=args.compute_dtype)
     final = run_training(task, args)
     print(f"best bpd {final['best_bpd']:.4f} | "

@@ -118,7 +118,7 @@ def test_graphcnf_bond_stage_no_masked_leakage_levers(rng):
                  node_dim=2, exist_dim=2, bond_dim=2,
                  num_layers_node=2, num_layers_edge=2, hidden_dim=16,
                  num_mixtures=3, edge_degree_norm="live_edges",
-                 bond_cond_exist=True)
+                 bond_cond_exist=True, node_cond_atoms=True)
     params = m.init(rng)
     B = 1
     node_mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.float32)
@@ -132,8 +132,10 @@ def test_graphcnf_bond_stage_no_masked_leakage_levers(rng):
     z_v = jax.random.normal(jax.random.fold_in(rng, 2), (B, 6, m.node_dim))
     z_e1 = jax.random.normal(jax.random.fold_in(rng, 3), (B, E, m.exist_dim))
     z_e2 = jax.random.normal(jax.random.fold_in(rng, 4), (B, E, m.bond_dim))
+    atoms = jax.random.randint(jax.random.fold_in(rng, 6), (B, 6), 0, 4)
 
-    cond = {"node_feat": z_v, "node_mask": node_mask,
+    cond = {"node_feat": m._node_feat(z_v, atoms, node_mask),
+            "node_mask": node_mask,
             "edge_feat": m._bond_edge_feat(z_e1, exist, e_mask)}
     _valid_submap_check(m.flow_bond, params["flow_bond"], z_e2, cond,
                         bond_mask, rng)
@@ -149,7 +151,7 @@ def test_bond_cond_exist_sampling_consistency(rng, monkeypatch):
                  node_dim=2, exist_dim=2, bond_dim=2,
                  num_layers_node=2, num_layers_edge=2, hidden_dim=16,
                  num_mixtures=3, edge_degree_norm="live_edges",
-                 bond_cond_exist=True)
+                 bond_cond_exist=True, node_cond_atoms=True)
     params = m.init(rng)
     node_mask = jnp.asarray([[1, 1, 1, 1, 1, 0]], jnp.float32)
 
@@ -166,6 +168,15 @@ def test_bond_cond_exist_sampling_consistency(rng, monkeypatch):
     assert len(calls) == 3
 
     e_mask = m.edge_mask(node_mask)
+    z_v = calls[0]["z_out"]
+    atoms = m.enc_node.decode(params["enc_node"], z_v)
+    expected_node_feat = m._node_feat(z_v, atoms, node_mask)
+    for stage in (1, 2):  # exist + bond stages see the decoded-atom feats
+        got_nf = calls[stage]["cond"]["node_feat"]
+        assert got_nf.shape[-1] == m.node_dim + m.num_atom_types
+        np.testing.assert_allclose(np.asarray(got_nf),
+                                   np.asarray(expected_node_feat),
+                                   rtol=1e-6, atol=1e-6)
     z_e1 = calls[1]["z_out"]
     exist = m.enc_exist.decode(params["enc_exist"], z_e1)
     expected_feat = m._bond_edge_feat(z_e1, exist, e_mask)
@@ -225,7 +236,7 @@ def test_graphcnf_levers_elbo_sample_smoke(rng):
                  node_dim=2, exist_dim=2, bond_dim=2,
                  num_layers_node=2, num_layers_edge=2, hidden_dim=16,
                  num_mixtures=3, edge_degree_norm="live_edges",
-                 bond_cond_exist=True)
+                 bond_cond_exist=True, node_cond_atoms=True)
     params = m.init(rng)
     B, N, E = 2, 6, m.num_edges
     node_mask = jnp.ones((B, N), jnp.float32)
