@@ -10,7 +10,19 @@ import argparse
 
 from categoricalnf_tpu.training import (OptimizerConfig, ScheduleSpec,
                                         TrainConfig, Trainer)
-from categoricalnf_tpu.utils.config import save_config, set_seed
+from categoricalnf_tpu.utils.config import load_config, save_config, set_seed
+
+# Architecture-defining CLI keys: resuming with a different value silently
+# changes the learned function — some (edge_degree_norm, input_feats with
+# equal widths, net gating flags) would NOT even fail the checkpoint-shape
+# check, so they must be refused up front.
+_ARCH_KEYS = frozenset({
+    "encoding", "encoding_dim", "num_layers", "hidden_dim", "num_mixtures",
+    "compute_dtype", "lstm_layers", "net", "input_feats", "seq_len",
+    "corpus", "dataset", "max_nodes", "num_layers_node", "num_layers_edge",
+    "edge_degree_norm", "bond_cond_exist", "node_cond_atoms", "set_size",
+    "num_colors", "min_nodes",
+})
 
 
 def default_parser(description: str) -> argparse.ArgumentParser:
@@ -56,12 +68,30 @@ def train_config_from_args(args) -> TrainConfig:
     )
 
 
+def check_resume_args(out_dir: str, args: dict) -> None:
+    """Refuse a --resume whose architecture flags differ from the run's
+    saved config (training knobs like lr/num_steps may change freely)."""
+    cfg = load_config(out_dir)
+    if cfg is None:
+        return
+    saved = cfg.get("args", {})
+    bad = {k: (saved[k], args[k]) for k in _ARCH_KEYS
+           if k in saved and k in args and saved[k] != args[k]}
+    if bad:
+        raise ValueError(
+            f"--resume with changed architecture flags {bad} (saved vs "
+            f"given) — this would silently alter the learned function; "
+            f"start a fresh out_dir instead")
+
+
 def run_training(task, args) -> dict:
     from categoricalnf_tpu.utils.jax_setup import setup_jax
     setup_jax()
     set_seed(args.seed)
     cfg = train_config_from_args(args)
     if args.out_dir:
+        if args.resume:
+            check_resume_args(args.out_dir, vars(args))
         save_config(args.out_dir, {"args": vars(args), "task": task.name})
     trainer = Trainer(task, cfg)
     return trainer.train(resume=args.resume)

@@ -55,3 +55,25 @@ def test_assert_finite_tree():
         assert False
     except FloatingPointError as e:
         assert "bad" in str(e)
+
+
+def test_check_resume_args_refuses_arch_drift(tmp_path):
+    from categoricalnf_tpu.utils.cli import check_resume_args
+    from categoricalnf_tpu.utils.config import save_config
+
+    d = str(tmp_path)
+    save_config(d, {"args": {"hidden_dim": 96, "edge_degree_norm": "nodes",
+                             "lr": 1e-3}, "task": "t"})
+    # training knobs may change freely
+    check_resume_args(d, {"hidden_dim": 96, "edge_degree_norm": "nodes",
+                          "lr": 5e-4, "num_steps": 99})
+    # architecture flags may not - including parameter-shape-preserving
+    # ones like edge_degree_norm
+    import pytest
+    with pytest.raises(ValueError, match="edge_degree_norm"):
+        check_resume_args(d, {"hidden_dim": 96,
+                              "edge_degree_norm": "live_edges"})
+    with pytest.raises(ValueError, match="hidden_dim"):
+        check_resume_args(d, {"hidden_dim": 128})
+    # a fresh dir (no config) is fine
+    check_resume_args(str(tmp_path / "nope"), {"hidden_dim": 1})
