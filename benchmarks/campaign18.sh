@@ -36,11 +36,14 @@ secs_until() {
   echo $((target - now))
 }
 
-# Cap a stage timeout at the remaining window before HH:MM.
+# Cap a stage timeout at the remaining window before HH:MM (UTC, today).
+# Past-the-cutoff is decided by clock comparison, NOT by secs_until
+# wrapping (a >12h window is legitimate for an early controller start).
 cap_at() {
-  local tmo=$1 cutoff=$2 left
+  local tmo=$1 cutoff=$2 left now_hm cut_hm
+  now_hm=$(date -u +%H%M); cut_hm=${cutoff/:/}
+  if [ "$((10#$now_hm))" -ge "$((10#$cut_hm))" ]; then echo 0; return; fi
   left=$(secs_until "$cutoff")
-  if [ "$left" -gt 43200 ]; then left=0; fi   # already past today
   if [ "$tmo" -gt "$left" ]; then tmo=$left; fi
   echo "$tmo"
 }
@@ -71,8 +74,8 @@ if ! grep -q '"step": 75000' runs/coloring/metrics.jsonl 2>/dev/null; then
     --out_dir runs/coloring --log_every 2000 --resume
 fi
 
-run coloring_samples 2400 python experiments/sample_eval.py \
-  --run runs/coloring --temperatures 1.0 --num_samples 1024
+run coloring_samples 3600 python experiments/sample_eval.py \
+  --run runs/coloring --temperatures 1.0,0.85,0.7 --num_samples 1024
 
 # 2. molecules_v6 (VERDICT r1 #1 / top_next): v5 architecture + both
 #    bond-stage levers, fresh train. Time-boxed to leave the LM window.
@@ -92,12 +95,14 @@ run molecules_v6_samples 4200 python experiments/sample_eval.py \
 run molecules_v6_diag 1800 python benchmarks/molecule_diagnostics.py \
   --run runs/molecules_v6 --num_samples 128
 
-# 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus.
+# 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus, and
+#    the input_feats soft-classifier lever (V=27; CPU A/B evidence in
+#    RESULTS.md).
 LM_TMO=$(cap_at 15000 "17:30")
 run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
   --corpus synthetic --num_steps 50000 --eval_every 5000 --eval_samples 8 \
   --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
-  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 \
+  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 --input_feats 27 \
   --out_dir runs/lm_v6 --log_every 2000
 
 run lm_v6_is128 3600 python experiments/eval_bpd.py \

@@ -87,7 +87,11 @@ class AutoregressiveMixtureCDF(Transform):
         if not self.input_feats:
             return z
         f = params["feat"]
-        inv = jnp.exp(-f["log_sigma"])                      # [V, D]
+        # clamp like every other learned log-scale (CLAUDE.md numerics
+        # discipline): unbounded exp(-log_sigma) could overflow the
+        # squared distance to inf and NaN the softmax.
+        ls = jnp.clip(f["log_sigma"], nm.LOG_SCALE_MIN, nm.LOG_SCALE_MAX)
+        inv = jnp.exp(-ls)                                  # [V, D]
         diff = (z[..., None, :] - f["mu"]) * inv            # [..., V, D]
         logits = -0.5 * (diff * diff).sum(-1) + f["bias"]   # [..., V]
         return jnp.concatenate([z, jax.nn.softmax(logits, axis=-1)], axis=-1)

@@ -68,10 +68,12 @@ def build_node_flow(dim: int, num_layers: int, hidden_dim: int,
     return _stacked(sub, num_layers)
 
 
-def build_edge_flow(dim: int, max_nodes: int, cond_node_dim: int,
+def build_edge_flow(dim: int, max_nodes: int,
                     edge_feat_dim: int, num_layers: int, hidden_dim: int,
                     num_mixtures: int, compute_dtype: str,
                     degree_norm: str = "nodes"):
+    # NOTE: the node-conditioning width is NOT baked in here — it flows in
+    # via flow.init(event_dim, cond_dim) from GraphCNF._cond_node_dim.
     net = EdgeGNN(num_nodes=max_nodes, hidden_dim=hidden_dim,
                   num_layers=2, edge_feat_dim=edge_feat_dim,
                   degree_norm=degree_norm,
@@ -144,7 +146,7 @@ class GraphCNF:
 
     @property
     def flow_exist(self):
-        return build_edge_flow(self.exist_dim, self.max_nodes, self.node_dim,
+        return build_edge_flow(self.exist_dim, self.max_nodes,
                                0, self.num_layers_edge, self.hidden_dim,
                                self.num_mixtures, self.compute_dtype,
                                degree_norm=self.edge_degree_norm)
@@ -152,7 +154,7 @@ class GraphCNF:
     @property
     def flow_bond(self):
         feat = self.exist_dim + (2 if self.bond_cond_exist else 0)
-        return build_edge_flow(self.bond_dim, self.max_nodes, self.node_dim,
+        return build_edge_flow(self.bond_dim, self.max_nodes,
                                feat, self.num_layers_edge,
                                self.hidden_dim, self.num_mixtures,
                                self.compute_dtype,

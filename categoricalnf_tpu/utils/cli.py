@@ -21,7 +21,7 @@ _ARCH_KEYS = frozenset({
     "compute_dtype", "lstm_layers", "net", "input_feats", "seq_len",
     "corpus", "dataset", "max_nodes", "num_layers_node", "num_layers_edge",
     "edge_degree_norm", "bond_cond_exist", "node_cond_atoms", "set_size",
-    "num_colors", "min_nodes",
+    "num_colors", "min_nodes", "edge_prob",
 })
 
 
@@ -68,15 +68,38 @@ def train_config_from_args(args) -> TrainConfig:
     )
 
 
-def check_resume_args(out_dir: str, args: dict) -> None:
+def check_resume_args(out_dir: str, args: dict, task=None) -> None:
     """Refuse a --resume whose architecture flags differ from the run's
-    saved config (training knobs like lr/num_steps may change freely)."""
+    saved config (training knobs like lr/num_steps may change freely).
+
+    A key MISSING from the saved config means the run predates the flag,
+    i.e. it trained with that flag's default — so the comparison falls
+    back to the task dataclass default (the single source of truth,
+    matching ``inference.build_task``) rather than silently passing.
+    """
+    import dataclasses
+
     cfg = load_config(out_dir)
     if cfg is None:
         return
     saved = cfg.get("args", {})
-    bad = {k: (saved[k], args[k]) for k in _ARCH_KEYS
-           if k in saved and k in args and saved[k] != args[k]}
+    defaults = {}
+    if task is not None and dataclasses.is_dataclass(task):
+        from categoricalnf_tpu.inference import _ARG_RENAMES
+        renames = {v: k for k, v in _ARG_RENAMES.items()}
+        for f in dataclasses.fields(type(task)):
+            if f.default is not dataclasses.MISSING:
+                defaults[renames.get(f.name, f.name)] = f.default
+    bad = {}
+    for k in sorted(_ARCH_KEYS & set(args)):
+        if k in saved:
+            old = saved[k]
+        elif k in defaults:
+            old = defaults[k]
+        else:
+            continue
+        if old != args[k]:
+            bad[k] = (old, args[k])
     if bad:
         raise ValueError(
             f"--resume with changed architecture flags {bad} (saved vs "
@@ -91,7 +114,7 @@ def run_training(task, args) -> dict:
     cfg = train_config_from_args(args)
     if args.out_dir:
         if args.resume:
-            check_resume_args(args.out_dir, vars(args))
+            check_resume_args(args.out_dir, vars(args), task=task)
         save_config(args.out_dir, {"args": vars(args), "task": task.name})
     trainer = Trainer(task, cfg)
     return trainer.train(resume=args.resume)

@@ -77,3 +77,31 @@ def test_check_resume_args_refuses_arch_drift(tmp_path):
         check_resume_args(d, {"hidden_dim": 128})
     # a fresh dir (no config) is fine
     check_resume_args(str(tmp_path / "nope"), {"hidden_dim": 1})
+
+
+def test_check_resume_args_missing_key_falls_back_to_task_default(tmp_path):
+    """A key absent from an old run's config means the run trained with the
+    flag's default — resuming with a different value must still refuse."""
+    import dataclasses
+
+    import pytest
+
+    from categoricalnf_tpu.utils.cli import check_resume_args
+    from categoricalnf_tpu.utils.config import save_config
+
+    @dataclasses.dataclass
+    class FakeTask:
+        edge_degree_norm: str = "nodes"
+        encoding_name: str = "mixture"
+
+    d = str(tmp_path)
+    save_config(d, {"args": {"hidden_dim": 96}, "task": "t"})
+    task = FakeTask()
+    # old run predates the flag; default matches -> ok
+    check_resume_args(d, {"edge_degree_norm": "nodes"}, task=task)
+    # default differs -> refused even though the saved config lacks the key
+    with pytest.raises(ValueError, match="edge_degree_norm"):
+        check_resume_args(d, {"edge_degree_norm": "live_edges"}, task=task)
+    # CLI-renamed keys resolve through inference._ARG_RENAMES
+    with pytest.raises(ValueError, match="encoding"):
+        check_resume_args(d, {"encoding": "vardeq"}, task=task)
