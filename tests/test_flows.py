@@ -203,10 +203,16 @@ def test_autoregressive_input_feats_roundtrip(rng, z):
     sequential inverse: the density pass concatenates feats(z_{t-1}) into
     the shifted net input, and the sampling scan reproduces the same
     features from its own reconstructed outputs."""
+    def nets(parity):
+        extra = D if parity is not None else 0
+        yield networks.CausalLSTM(hidden_dim=32, extra_dim=extra,
+                                  compute_dtype="float32")
+        yield networks.CausalTransformer(hidden_dim=32, num_layers=1,
+                                         max_len=T, extra_dim=extra,
+                                         compute_dtype="float32")
+
     for parity in (None, 0):
-        net = networks.CausalLSTM(
-            hidden_dim=32, extra_dim=D if parity is not None else 0,
-            compute_dtype="float32")
+      for net in nets(parity):
         layer = flows.AutoregressiveMixtureCDF(net=net, num_mixtures=4,
                                                parity=parity, input_feats=5)
         params = layer.init(rng, D, 0)
