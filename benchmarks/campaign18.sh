@@ -95,18 +95,27 @@ run molecules_v6_samples 4200 python experiments/sample_eval.py \
 run molecules_v6_diag 1800 python benchmarks/molecule_diagnostics.py \
   --run runs/molecules_v6 --num_samples 128
 
-# 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus, and
-#    the input_feats soft-classifier lever (V=27; CPU A/B evidence in
-#    RESULTS.md).
+# 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus.
+#    input_feats stays OUT of the primary run: the 2.5k-step CPU A/B had
+#    the lever arm slightly behind (4.076 vs 4.033 bits/char, deficit
+#    narrowing) — not enough evidence to gamble the round's main LM run;
+#    lm_v7 below carries the lever if the window allows.
 LM_TMO=$(cap_at 15000 "17:30")
 run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
   --corpus synthetic --num_steps 50000 --eval_every 5000 --eval_samples 8 \
   --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
-  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 --input_feats 27 \
+  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 \
   --out_dir runs/lm_v6 --log_every 2000
 
 run lm_v6_is128 3600 python experiments/eval_bpd.py \
   --run runs/lm_v6 --num_samples 128 --split test
+
+LM7_TMO=$(cap_at 12000 "17:30")
+run lm_v7_feats "$LM7_TMO" python experiments/language_modeling/train.py \
+  --corpus synthetic --num_steps 40000 --eval_every 5000 --eval_samples 8 \
+  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
+  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 --input_feats 27 \
+  --out_dir runs/lm_v7 --log_every 2000
 
 run lm_bench_lstm 2400 python benchmarks/lm_bench.py --net lstm
 
