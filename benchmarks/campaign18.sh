@@ -77,23 +77,36 @@ fi
 run coloring_samples 3600 python experiments/sample_eval.py \
   --run runs/coloring --temperatures 1.0,0.85,0.7 --num_samples 1024
 
-# 2. molecules_v6 (VERDICT r1 #1 / top_next): v5 architecture + both
-#    bond-stage levers, fresh train. Time-boxed to leave the LM window.
+# 2. Molecules (VERDICT r1 #1 / top_next): the combined-lever CPU A/B
+#    came back NEGATIVE at tiny scale (levers 61.9% vs base 73.9%
+#    validity, n=1024 each, non-overlapping CIs), so the scarce TPU
+#    window goes to the SAFE continuation: resume molecules_v5 from its
+#    20k checkpoint toward 120k (proven trajectory).  Single-lever CPU
+#    A/Bs run meanwhile; a lever-bearing molecules_v6 only happens in a
+#    later queue revision if one lever clearly wins.
 MOL_TMO=$(cap_at 99999 "14:15")
-run molecules_v6 "$MOL_TMO" \
+run molecules_v5_resume "$MOL_TMO" \
   python experiments/molecule_generation/train.py \
   --dataset zinclike250k --data_dir data --max_nodes 24 \
-  --num_steps 80000 --eval_every 5000 --eval_samples 4 --batch_size 192 \
+  --num_steps 120000 --eval_every 10000 --eval_samples 4 --batch_size 192 \
   --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8 \
-  --num_mixtures 16 --edge_degree_norm live_edges --bond_cond_exist \
-  --node_cond_atoms \
-  --out_dir runs/molecules_v6 --log_every 2000
+  --num_mixtures 16 --out_dir runs/molecules_v5 --log_every 2000 --resume
 
-run molecules_v6_samples 4200 python experiments/sample_eval.py \
-  --run runs/molecules_v6 --temperatures 1.0,0.85,0.7 --num_samples 1024
+# Sweep only if the resume advanced past the already-measured 20k ckpt.
+if python - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from categoricalnf_tpu.training.checkpoint import CheckpointManager
+step = CheckpointManager("runs/molecules_v5").latest_step() or 0
+sys.exit(0 if step > 20000 else 1)
+EOF
+then
+  run molecules_v5_samples 4200 python experiments/sample_eval.py \
+    --run runs/molecules_v5 --temperatures 1.0,0.85,0.7 --num_samples 1024
 
-run molecules_v6_diag 1800 python benchmarks/molecule_diagnostics.py \
-  --run runs/molecules_v6 --num_samples 128
+  run molecules_v5_diag 1800 python benchmarks/molecule_diagnostics.py \
+    --run runs/molecules_v5 --num_samples 128
+fi
 
 # 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus.
 #    input_feats stays OUT of the primary run: the 2.5k-step CPU A/B had
