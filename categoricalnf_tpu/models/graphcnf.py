@@ -116,6 +116,17 @@ class GraphCNF:
     # atom-type-driven, and the GNN's linear embeddings recover the type
     # from the 6-d latent only weakly.
     node_cond_atoms: bool = False
+    # bond_cond_degree=True conditions the BOND stage's node stream on the
+    # one-hot decoded degree (count of existing edges per node, clipped at
+    # 5) — the node's remaining valence budget, which directly governs how
+    # many double/triple bonds it can take (the diagnosed valence-excess
+    # failure mode).  Deterministic in exist, so density/sampling
+    # consistency holds.  Note: conditioning the bond stage on the exist
+    # VALUES per edge (bond_cond_exist) is structurally near-useless —
+    # exist ≡ 1 on every position the bond flow transforms (the mask
+    # already encodes it) and virtual-edge features never pass the
+    # emask-gated message passing; the degree is the informative summary.
+    bond_cond_degree: bool = False
     compute_dtype: str = "float32"
 
     @property
@@ -165,6 +176,10 @@ class GraphCNF:
         return self.node_dim + (self.num_atom_types if self.node_cond_atoms
                                 else 0)
 
+    @property
+    def _bond_cond_node_dim(self) -> int:
+        return self._cond_node_dim + (6 if self.bond_cond_degree else 0)
+
     def _node_feat(self, z_v: Array, atoms: Array, node_mask: Array) -> Array:
         """Stage-2/3 node conditioning: z_v (+ decoded-atom one-hots).
 
@@ -178,6 +193,23 @@ class GraphCNF:
         oh = jax.nn.one_hot(atoms, self.num_atom_types, dtype=jnp.float32)
         oh = oh * jnp.asarray(node_mask, jnp.float32)[..., None]
         return jnp.concatenate([jnp.asarray(z_v, jnp.float32), oh], axis=-1)
+
+    def _bond_node_feat(self, node_feat: Array, exist: Array,
+                        e_mask: Array, node_mask: Array) -> Array:
+        """Bond-stage node conditioning: stage-2/3 features (+ decoded
+        degree one-hot).  ``exist`` is data labels in the density
+        direction and the decoded stage-2 output at sampling."""
+        if not self.bond_cond_degree:
+            return node_feat
+        from categoricalnf_tpu.networks.graph import incidence_matrix
+        inc = incidence_matrix(self.max_nodes)           # [E, N]
+        live = (jnp.asarray(exist, jnp.float32)
+                * jnp.asarray(e_mask, jnp.float32))      # [B, E]
+        deg = jnp.einsum("en,be->bn", inc, live)         # [B, N]
+        oh = jax.nn.one_hot(jnp.clip(deg, 0, 5).astype(jnp.int32), 6,
+                            dtype=jnp.float32)
+        oh = oh * jnp.asarray(node_mask, jnp.float32)[..., None]
+        return jnp.concatenate([node_feat, oh], axis=-1)
 
     def _bond_edge_feat(self, z_e1: Array, exist: Array,
                         e_mask: Array) -> Array:
@@ -204,7 +236,7 @@ class GraphCNF:
             "flow_exist": self.flow_exist.init(ks[4], self.exist_dim,
                                                self._cond_node_dim),
             "flow_bond": self.flow_bond.init(ks[5], self.bond_dim,
-                                             self._cond_node_dim),
+                                             self._bond_cond_node_dim),
         }
 
     # masks ---------------------------------------------------------------
@@ -239,7 +271,9 @@ class GraphCNF:
         cond_e1 = {"node_feat": node_feat, "node_mask": node_mask}
         lp_e1 = self.flow_exist.log_prob(params["flow_exist"], z_e1,
                                          cond=cond_e1, mask=e_mask)
-        cond_e2 = {"node_feat": node_feat, "node_mask": node_mask,
+        cond_e2 = {"node_feat": self._bond_node_feat(node_feat, exist,
+                                                     e_mask, node_mask),
+                   "node_mask": node_mask,
                    "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)}
         lp_e2 = self.flow_bond.log_prob(params["flow_bond"], z_e2,
                                         cond=cond_e2, mask=bond_mask)
@@ -337,7 +371,9 @@ class GraphCNF:
         bond_mask = e_mask * exist.astype(jnp.float32)
         zp_e2 = self.flow_bond.prior.sample(k3, (B, self.num_edges,
                                                  self.bond_dim), temperature)
-        cond_e2 = {"node_feat": node_feat, "node_mask": node_mask,
+        cond_e2 = {"node_feat": self._bond_node_feat(node_feat, exist,
+                                                     e_mask, node_mask),
+                   "node_mask": node_mask,
                    "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)}
         z_e2, _ = self.flow_bond.inverse(params["flow_bond"], zp_e2,
                                          cond=cond_e2, mask=bond_mask)
@@ -372,7 +408,9 @@ class GraphCNF:
             mask=e_mask)
         params["flow_bond"] = self.flow_bond.data_init(
             params["flow_bond"], z_e2,
-            cond={"node_feat": node_feat, "node_mask": node_mask,
+            cond={"node_feat": self._bond_node_feat(node_feat, exist,
+                                                    e_mask, node_mask),
+                  "node_mask": node_mask,
                   "edge_feat": self._bond_edge_feat(z_e1, exist, e_mask)},
             mask=bond_mask)
         return params

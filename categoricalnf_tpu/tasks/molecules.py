@@ -82,6 +82,7 @@ class MoleculeTask(TaskTemplate):
     edge_degree_norm: str = "nodes"
     bond_cond_exist: bool = False
     node_cond_atoms: bool = False
+    bond_cond_degree: bool = False
     eval_batches_count: int = 8
     metric_samples: int = 1024
     synth_size: int = 2048
@@ -101,6 +102,7 @@ class MoleculeTask(TaskTemplate):
             edge_degree_norm=self.edge_degree_norm,
             bond_cond_exist=self.bond_cond_exist,
             node_cond_atoms=self.node_cond_atoms,
+            bond_cond_degree=self.bond_cond_degree,
             compute_dtype=self.compute_dtype)
         # categorical prior over node count (+1 smoothing)
         counts = np.bincount(self.data["num_atoms"],

@@ -20,8 +20,8 @@ _ARCH_KEYS = frozenset({
     "encoding", "encoding_dim", "num_layers", "hidden_dim", "num_mixtures",
     "compute_dtype", "lstm_layers", "net", "input_feats", "seq_len",
     "corpus", "dataset", "max_nodes", "num_layers_node", "num_layers_edge",
-    "edge_degree_norm", "bond_cond_exist", "node_cond_atoms", "set_size",
-    "num_colors", "min_nodes", "edge_prob",
+    "edge_degree_norm", "bond_cond_exist", "node_cond_atoms",
+    "bond_cond_degree", "set_size", "num_colors", "min_nodes", "edge_prob",
 })
 
 

@@ -40,6 +40,9 @@ def main():
     p.add_argument("--node_cond_atoms", action="store_true",
                    help="condition stages 2-3 on decoded atom-type "
                    "one-hots alongside z_v")
+    p.add_argument("--bond_cond_degree", action="store_true",
+                   help="condition the bond stage's node stream on the "
+                   "decoded degree one-hot (the valence budget)")
     p.set_defaults(batch_size=64)
     args = p.parse_args()
     task = MoleculeTask(
@@ -51,6 +54,7 @@ def main():
         edge_degree_norm=args.edge_degree_norm,
         bond_cond_exist=args.bond_cond_exist,
         node_cond_atoms=args.node_cond_atoms,
+        bond_cond_degree=args.bond_cond_degree,
         compute_dtype=args.compute_dtype)
     final = run_training(task, args)
     print(f"best bpd {final['best_bpd']:.4f} | "

@@ -118,7 +118,8 @@ def test_graphcnf_bond_stage_no_masked_leakage_levers(rng):
                  node_dim=2, exist_dim=2, bond_dim=2,
                  num_layers_node=2, num_layers_edge=2, hidden_dim=16,
                  num_mixtures=3, edge_degree_norm="live_edges",
-                 bond_cond_exist=True, node_cond_atoms=True)
+                 bond_cond_exist=True, node_cond_atoms=True,
+                 bond_cond_degree=True)
     params = m.init(rng)
     B = 1
     node_mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.float32)
@@ -134,8 +135,9 @@ def test_graphcnf_bond_stage_no_masked_leakage_levers(rng):
     z_e2 = jax.random.normal(jax.random.fold_in(rng, 4), (B, E, m.bond_dim))
     atoms = jax.random.randint(jax.random.fold_in(rng, 6), (B, 6), 0, 4)
 
-    cond = {"node_feat": m._node_feat(z_v, atoms, node_mask),
-            "node_mask": node_mask,
+    nf = m._bond_node_feat(m._node_feat(z_v, atoms, node_mask), exist,
+                           e_mask, node_mask)
+    cond = {"node_feat": nf, "node_mask": node_mask,
             "edge_feat": m._bond_edge_feat(z_e1, exist, e_mask)}
     _valid_submap_check(m.flow_bond, params["flow_bond"], z_e2, cond,
                         bond_mask, rng)
@@ -151,7 +153,8 @@ def test_bond_cond_exist_sampling_consistency(rng, monkeypatch):
                  node_dim=2, exist_dim=2, bond_dim=2,
                  num_layers_node=2, num_layers_edge=2, hidden_dim=16,
                  num_mixtures=3, edge_degree_norm="live_edges",
-                 bond_cond_exist=True, node_cond_atoms=True)
+                 bond_cond_exist=True, node_cond_atoms=True,
+                 bond_cond_degree=True)
     params = m.init(rng)
     node_mask = jnp.asarray([[1, 1, 1, 1, 1, 0]], jnp.float32)
 
@@ -171,14 +174,21 @@ def test_bond_cond_exist_sampling_consistency(rng, monkeypatch):
     z_v = calls[0]["z_out"]
     atoms = m.enc_node.decode(params["enc_node"], z_v)
     expected_node_feat = m._node_feat(z_v, atoms, node_mask)
-    for stage in (1, 2):  # exist + bond stages see the decoded-atom feats
-        got_nf = calls[stage]["cond"]["node_feat"]
-        assert got_nf.shape[-1] == m.node_dim + m.num_atom_types
-        np.testing.assert_allclose(np.asarray(got_nf),
-                                   np.asarray(expected_node_feat),
-                                   rtol=1e-6, atol=1e-6)
+    got_nf1 = calls[1]["cond"]["node_feat"]
+    assert got_nf1.shape[-1] == m.node_dim + m.num_atom_types
+    np.testing.assert_allclose(np.asarray(got_nf1),
+                               np.asarray(expected_node_feat),
+                               rtol=1e-6, atol=1e-6)
     z_e1 = calls[1]["z_out"]
     exist = m.enc_exist.decode(params["enc_exist"], z_e1)
+    # the BOND stage additionally sees the decoded-degree one-hot
+    expected_nf2 = m._bond_node_feat(expected_node_feat, exist, e_mask,
+                                     node_mask)
+    got_nf2 = calls[2]["cond"]["node_feat"]
+    assert got_nf2.shape[-1] == m.node_dim + m.num_atom_types + 6
+    np.testing.assert_allclose(np.asarray(got_nf2),
+                               np.asarray(expected_nf2),
+                               rtol=1e-6, atol=1e-6)
     expected_feat = m._bond_edge_feat(z_e1, exist, e_mask)
     got = calls[2]["cond"]["edge_feat"]
     assert got.shape[-1] == m.exist_dim + 2
@@ -236,7 +246,8 @@ def test_graphcnf_levers_elbo_sample_smoke(rng):
                  node_dim=2, exist_dim=2, bond_dim=2,
                  num_layers_node=2, num_layers_edge=2, hidden_dim=16,
                  num_mixtures=3, edge_degree_norm="live_edges",
-                 bond_cond_exist=True, node_cond_atoms=True)
+                 bond_cond_exist=True, node_cond_atoms=True,
+                 bond_cond_degree=True)
     params = m.init(rng)
     B, N, E = 2, 6, m.num_edges
     node_mask = jnp.ones((B, N), jnp.float32)
