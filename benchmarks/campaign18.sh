@@ -1,14 +1,13 @@
 #!/bin/bash
 # Round-2 (second extension) queue — replaces campaign17's controller.
 #
-# The round restarted fresh at ~07:52 UTC Aug 18 (ends ~19:50), so the
-# 10:30 stage-start cutoff and the 09:45 molecule time-box no longer
-# apply.  Priorities per VERDICT r1: top_next is molecule raw validity,
-# and this session landed the two diagnosed bond-stage levers
-# (edge_degree_norm=live_edges + bond_cond_exist), so a fresh
-# molecules_v6 with both levers takes the big window; the LM gap run
-# (lm_v6) gets the remainder.  Every stage is probe-gated (timeouts
-# start only once the tunnel answers) and checkpointed.
+# The round restarted fresh at ~07:52 UTC Aug 18 (ends ~19:50).  Order
+# (re-planned at 11:15 after the CPU lever A/Bs): coloring (quick verdict
+# item) → lm_v6 30k (likeliest verdict flip; lm_v4 peaked at 15k) →
+# IS-128 bound → molecules_v5 resume (top_next, gets the rest to 16:45)
+# → sweep/diagnostics → benches.  Every stage is probe-gated (timeouts
+# start only once the tunnel answers) and checkpointed; nothing is lost
+# to preemption.
 #
 # Usage: campaign18.sh
 set -u
@@ -77,14 +76,29 @@ fi
 run coloring_samples 3600 python experiments/sample_eval.py \
   --run runs/coloring --temperatures 1.0,0.85,0.7 --num_samples 1024
 
-# 2. Molecules (VERDICT r1 #1 / top_next): the combined-lever CPU A/B
-#    came back NEGATIVE at tiny scale (levers 61.9% vs base 73.9%
-#    validity, n=1024 each, non-overlapping CIs), so the scarce TPU
+# 2. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus.
+#    Runs BEFORE the molecule resume: it is the likeliest verdict flip
+#    and lm_v4 peaked at 15k steps, so 30k (~2h) captures the peak while
+#    leaving the molecule window.  input_feats stays OUT of the primary
+#    run (CPU A/B had the lever arm slightly behind at 2.5k steps, the
+#    5k-step extension informs round 3).
+LM_TMO=$(cap_at 9000 "17:00")
+run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
+  --corpus synthetic --num_steps 30000 --eval_every 3000 --eval_samples 8 \
+  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
+  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 \
+  --out_dir runs/lm_v6 --log_every 2000
+
+run lm_v6_is128 3600 python experiments/eval_bpd.py \
+  --run runs/lm_v6 --num_samples 128 --split test
+
+# 3. Molecules (VERDICT r1 #1 / top_next): the combined-lever CPU A/B
+#    came back NEGATIVE (levers 61.9% vs base 73.9% validity), and the
+#    single-lever arms localized it to live_edges (node_cond_atoms and
+#    bond_cond_degree WIN and go into round-3 runs).  The scarce TPU
 #    window goes to the SAFE continuation: resume molecules_v5 from its
-#    20k checkpoint toward 120k (proven trajectory).  Single-lever CPU
-#    A/Bs run meanwhile; a lever-bearing molecules_v6 only happens in a
-#    later queue revision if one lever clearly wins.
-MOL_TMO=$(cap_at 99999 "14:15")
+#    20k checkpoint toward 120k (timeout-capped; checkpoints survive).
+MOL_TMO=$(cap_at 99999 "16:45")
 run molecules_v5_resume "$MOL_TMO" \
   python experiments/molecule_generation/train.py \
   --dataset zinclike250k --data_dir data --max_nodes 24 \
@@ -93,13 +107,13 @@ run molecules_v5_resume "$MOL_TMO" \
   --num_mixtures 16 --out_dir runs/molecules_v5 --log_every 2000 --resume
 
 # Sweep only if the resume advanced past the already-measured 20k ckpt.
-if python - <<'EOF'
+if python - <<'PYEOF'
 import sys
 sys.path.insert(0, ".")
 from categoricalnf_tpu.training.checkpoint import CheckpointManager
 step = CheckpointManager("runs/molecules_v5").latest_step() or 0
 sys.exit(0 if step > 20000 else 1)
-EOF
+PYEOF
 then
   run molecules_v5_samples 4200 python experiments/sample_eval.py \
     --run runs/molecules_v5 --temperatures 1.0,0.85,0.7 --num_samples 1024
@@ -107,28 +121,6 @@ then
   run molecules_v5_diag 1800 python benchmarks/molecule_diagnostics.py \
     --run runs/molecules_v5 --num_samples 128
 fi
-
-# 3. LM gap push (VERDICT r1 #2): 4 blocks, K=32, 20M-char corpus.
-#    input_feats stays OUT of the primary run: the 2.5k-step CPU A/B had
-#    the lever arm slightly behind (4.076 vs 4.033 bits/char, deficit
-#    narrowing) — not enough evidence to gamble the round's main LM run;
-#    lm_v7 below carries the lever if the window allows.
-LM_TMO=$(cap_at 15000 "17:30")
-run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
-  --corpus synthetic --num_steps 50000 --eval_every 5000 --eval_samples 8 \
-  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
-  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 \
-  --out_dir runs/lm_v6 --log_every 2000
-
-run lm_v6_is128 3600 python experiments/eval_bpd.py \
-  --run runs/lm_v6 --num_samples 128 --split test
-
-LM7_TMO=$(cap_at 12000 "17:30")
-run lm_v7_feats "$LM7_TMO" python experiments/language_modeling/train.py \
-  --corpus synthetic --num_steps 40000 --eval_every 5000 --eval_samples 8 \
-  --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
-  --encoding_dim 4 --num_mixtures 32 --lr 5e-4 --input_feats 27 \
-  --out_dir runs/lm_v7 --log_every 2000
 
 run lm_bench_lstm 2400 python benchmarks/lm_bench.py --net lstm
 
