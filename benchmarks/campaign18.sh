@@ -92,34 +92,35 @@ run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
 run lm_v6_is128 3600 python experiments/eval_bpd.py \
   --run runs/lm_v6 --num_samples 128 --split test
 
-# 3. Molecules (VERDICT r1 #1 / top_next): the combined-lever CPU A/B
-#    came back NEGATIVE (levers 61.9% vs base 73.9% validity), and the
-#    single-lever arms localized it to live_edges (node_cond_atoms and
-#    bond_cond_degree WIN and go into round-3 runs).  The scarce TPU
-#    window goes to the SAFE continuation: resume molecules_v5 from its
-#    20k checkpoint toward 120k (timeout-capped; checkpoints survive).
+# 3. Molecules (VERDICT r1 #1 / top_next): the single-lever CPU A/Bs
+#    localized the combined-arm regression to live_edges, and the two
+#    winners COMPOSE: node_cond_atoms + bond_cond_degree reach 81.1%
+#    ±2.4 validity vs base 73.9% ±2.7 (n=1024, non-overlapping CIs) with
+#    the best bpd of all arms.  The TPU window therefore goes to a FRESH
+#    molecules_v6 with the winning pair (v5 architecture otherwise);
+#    the v5 resume is superseded (its 20k numbers are already recorded).
 MOL_TMO=$(cap_at 99999 "16:45")
-run molecules_v5_resume "$MOL_TMO" \
+run molecules_v6 "$MOL_TMO" \
   python experiments/molecule_generation/train.py \
   --dataset zinclike250k --data_dir data --max_nodes 24 \
-  --num_steps 120000 --eval_every 10000 --eval_samples 4 --batch_size 192 \
+  --num_steps 100000 --eval_every 5000 --eval_samples 4 --batch_size 192 \
   --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8 \
-  --num_mixtures 16 --out_dir runs/molecules_v5 --log_every 2000 --resume
+  --num_mixtures 16 --node_cond_atoms --bond_cond_degree \
+  --out_dir runs/molecules_v6 --log_every 2000
 
-# Sweep only if the resume advanced past the already-measured 20k ckpt.
 if python - <<'PYEOF'
 import sys
 sys.path.insert(0, ".")
 from categoricalnf_tpu.training.checkpoint import CheckpointManager
-step = CheckpointManager("runs/molecules_v5").latest_step() or 0
-sys.exit(0 if step > 20000 else 1)
+step = CheckpointManager("runs/molecules_v6").latest_step() or 0
+sys.exit(0 if step > 0 else 1)
 PYEOF
 then
-  run molecules_v5_samples 4200 python experiments/sample_eval.py \
-    --run runs/molecules_v5 --temperatures 1.0,0.85,0.7 --num_samples 1024
+  run molecules_v6_samples 4200 python experiments/sample_eval.py \
+    --run runs/molecules_v6 --temperatures 1.0,0.85,0.7 --num_samples 1024
 
-  run molecules_v5_diag 1800 python benchmarks/molecule_diagnostics.py \
-    --run runs/molecules_v5 --num_samples 128
+  run molecules_v6_diag 1800 python benchmarks/molecule_diagnostics.py \
+    --run runs/molecules_v6 --num_samples 128
 fi
 
 run lm_bench_lstm 2400 python benchmarks/lm_bench.py --net lstm
