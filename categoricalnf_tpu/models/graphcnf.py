@@ -101,31 +101,34 @@ class GraphCNF:
     num_layers_edge: int = 4
     hidden_dim: int = 96
     num_mixtures: int = 8
-    # Round-2 diagnostics levers (default off for checkpoint compat):
+    # Round-2 conditioning levers (default off for checkpoint compat; all
+    # are deterministic functions of latents/labels available identically
+    # in both directions, so density/sampling consistency is preserved —
+    # tests/test_mask_integrity.py).  CPU A/B outcomes (RESULTS.md):
     # edge_degree_norm="live_edges" normalises EdgeGNN edge→node messages
-    # by the live-edge degree (the bond stage's live mask is ~5× sparser
-    # than the pair mask); bond_cond_exist=True conditions the bond stage
-    # on the DECODED existence one-hots alongside z_e1 (deterministic
-    # decode of a latent available identically in both directions, so
-    # generation consistency is preserved).
+    # by the live-edge degree instead of N_live−1 — measured HARMFUL at
+    # fixed LR (the ~3-8× message rescale changes the optimization
+    # scale); kept for completeness, leave off.
     edge_degree_norm: str = "nodes"
+    # bond_cond_exist: decoded existence one-hots as bond-stage edge
+    # features — measured NEUTRAL, and structurally near-useless: exist
+    # ≡ 1 on every position the bond flow transforms (the mask already
+    # encodes it) and virtual-edge features never pass the emask-gated
+    # message passing.  Superseded by bond_cond_degree.
     bond_cond_exist: bool = False
     # node_cond_atoms=True conditions stages 2-3 on the DECODED atom-type
-    # one-hots alongside z_v (atoms are decoded before stage 2 when
-    # sampling; data labels in the density direction) — chemistry is
+    # one-hots alongside z_v (atoms decode before stage 2 when sampling;
+    # data labels in the density direction) — chemistry is
     # atom-type-driven, and the GNN's linear embeddings recover the type
-    # from the 6-d latent only weakly.
+    # from the 6-d latent only weakly.  Measured +3.0 pts validity alone,
+    # +7.2 pts composed with bond_cond_degree.
     node_cond_atoms: bool = False
     # bond_cond_degree=True conditions the BOND stage's node stream on the
     # one-hot decoded degree (count of existing edges per node, clipped at
     # 5) — the node's remaining valence budget, which directly governs how
     # many double/triple bonds it can take (the diagnosed valence-excess
-    # failure mode).  Deterministic in exist, so density/sampling
-    # consistency holds.  Note: conditioning the bond stage on the exist
-    # VALUES per edge (bond_cond_exist) is structurally near-useless —
-    # exist ≡ 1 on every position the bond flow transforms (the mask
-    # already encodes it) and virtual-edge features never pass the
-    # emask-gated message passing; the degree is the informative summary.
+    # failure mode).  Measured +2.1 pts validity alone, +7.2 composed
+    # with node_cond_atoms (the round-3 default pair).
     bond_cond_degree: bool = False
     compute_dtype: str = "float32"
 
