@@ -1,7 +1,8 @@
 #!/bin/bash
 # Round-2 (second extension) queue — replaces campaign17's controller.
 #
-# The round restarted fresh at ~07:52 UTC Aug 18 (ends ~19:50).  Order
+# The round restarted fresh again at ~12:02 UTC Aug 18 (ends ~00:00);
+# caps re-timed for that window (global 22:45).  Order
 # (re-planned at 11:15 after the CPU lever A/Bs): coloring (quick verdict
 # item) → lm_v6 30k (likeliest verdict flip; lm_v4 peaked at 15k) →
 # IS-128 bound → molecules_v5 resume (top_next, gets the rest to 16:45)
@@ -49,13 +50,13 @@ cap_at() {
 
 run() {
   name=$1; tmo=$2; shift 2
-  tmo=$(cap_at "$tmo" "17:45")
+  tmo=$(cap_at "$tmo" "22:45")
   if [ "$tmo" -lt 300 ]; then
     echo "=== $name SKIPPED (window $tmo s too small) ==="
     return
   fi
   wait_tpu
-  tmo=$(cap_at "$tmo" "17:45")   # re-cap: probing may have eaten hours
+  tmo=$(cap_at "$tmo" "22:45")   # re-cap: probing may have eaten hours
   if [ "$tmo" -lt 300 ]; then
     echo "=== $name SKIPPED post-probe (window too small) ==="
     return
@@ -82,7 +83,7 @@ run coloring_samples 3600 python experiments/sample_eval.py \
 #    leaving the molecule window.  input_feats stays OUT of the primary
 #    run (CPU A/B had the lever arm slightly behind at 2.5k steps, the
 #    5k-step extension informs round 3).
-LM_TMO=$(cap_at 9000 "17:00")
+LM_TMO=$(cap_at 9000 "19:30")
 run lm_v6 "$LM_TMO" python experiments/language_modeling/train.py \
   --corpus synthetic --num_steps 30000 --eval_every 3000 --eval_samples 8 \
   --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4 \
@@ -99,7 +100,7 @@ run lm_v6_is128 3600 python experiments/eval_bpd.py \
 #    the best bpd of all arms.  The TPU window therefore goes to a FRESH
 #    molecules_v6 with the winning pair (v5 architecture otherwise);
 #    the v5 resume is superseded (its 20k numbers are already recorded).
-MOL_TMO=$(cap_at 99999 "16:45")
+MOL_TMO=$(cap_at 99999 "21:30")
 run molecules_v6 "$MOL_TMO" \
   python experiments/molecule_generation/train.py \
   --dataset zinclike250k --data_dir data --max_nodes 24 \
