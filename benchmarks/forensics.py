@@ -43,7 +43,7 @@ def main(run_dir="runs/set16"):
           f"[{float(z.min()):+.2f}, {float(z.max()):+.2f}]")
 
     flow = task.model.flow
-    fp = params["flow"]
+    fp, prior_params = flow._split(params["flow"])
     if isinstance(flow.layers[0], ScannedBlocks) and len(fp) == 1:
         scanned = flow.layers[0]
         sp = fp[0] if isinstance(fp, (list, tuple)) else fp["0"]
@@ -76,7 +76,8 @@ def main(run_dir="runs/set16"):
               f"  inv_err {err:.2e}")
         total_ldj += ldj
         cur = nxt
-    lp_prior = flow.prior.log_prob(cur)
+    lp_prior = (flow.prior.log_prob(prior_params, cur)
+                if prior_params is not None else flow.prior.log_prob(cur))
     print(f"total ldj/ex {float(total_ldj.mean()):.2f}  prior/ex "
           f"{float(lp_prior.mean()):.2f}")
     elbo = lp_prior + total_ldj - log_q

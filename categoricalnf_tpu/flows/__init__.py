@@ -5,6 +5,7 @@ from categoricalnf_tpu.flows.coupling import (MixtureCDFCoupling,
                                               make_channel_mask,
                                               make_checker_mask)
 from categoricalnf_tpu.flows.distributions import (GaussianPrior,
+                                                   HMMPrior,
                                                    LogisticPrior,
                                                    create_prior)
 from categoricalnf_tpu.flows.linear import InvertibleLinear, ReverseChannels
@@ -16,7 +17,8 @@ from categoricalnf_tpu.flows.softclamp import SoftClamp
 __all__ = [
     "Transform", "apply_mask", "sum_ldj", "ActNorm", "ExtActNorm",
     "AutoregressiveMixtureCDF", "MixtureCDFCoupling", "make_channel_mask",
-    "make_checker_mask", "GaussianPrior", "LogisticPrior", "create_prior",
+    "make_checker_mask", "GaussianPrior", "HMMPrior", "LogisticPrior",
+    "create_prior",
     "InvertibleLinear", "ReverseChannels", "FlowModel", "Logit", "Sigmoid",
     "SoftClamp", "ScannedBlocks",
 ]

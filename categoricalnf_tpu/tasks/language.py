@@ -166,7 +166,8 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
                   scan_blocks: bool = True,
                   channel_coupling: bool = True,
                   net: str = "lstm", seq_len: int = 512,
-                  input_feats: int = 0) -> flows.FlowModel:
+                  input_feats: int = 0, prior: str = "logistic",
+                  prior_states: int = 32) -> flows.FlowModel:
     """LM flow: autoregressive in time AND (by default) coupling in
     channels — the reference's design (SURVEY.md C5+C15).  Each block has
     both parities so every channel transforms with within-step context;
@@ -175,7 +176,14 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
 
     ``net`` picks the causal backbone: ``lstm`` (reference parity) or
     ``transformer`` (TPU-native: the training pass is pure batched
-    attention matmuls with no sequential scan; sampling uses a KV cache)."""
+    attention matmuls with no sequential scan; sampling uses a KV cache).
+
+    ``prior='hmm'`` swaps the factorized top for a learned latent
+    state-space prior (flows.HMMPrior) — the structure the exact gap
+    decomposition shows the flow otherwise has to spend its capacity
+    approximating (benchmarks/lm_diagnostics.py: 0.244 of the 0.257-bit
+    1-sample gap on runs/lm_v4 is flow-density deficit vs the HMM-optimal
+    latent density, only 0.013 decoder confusion)."""
 
     def make_net(parity):
         extra = dim if parity is not None else 0
@@ -203,14 +211,16 @@ def build_lm_flow(dim: int, num_layers: int = 2, hidden_dim: int = 512,
     else:
         block = (flows.ActNorm(), flows.InvertibleLinear(), ar(None),
                  flows.SoftClamp())
+    top = flows.create_prior(prior, **({"num_states": prior_states}
+                                       if prior == "hmm" else {}))
     if scan_blocks and num_layers > 1:
         return flows.FlowModel(
             layers=(flows.ScannedBlocks(block=block, depth=num_layers),),
-            prior=flows.LogisticPrior())
+            prior=top)
     layers = []
     for _ in range(num_layers):
         layers.extend(block)
-    return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
+    return flows.FlowModel(layers=tuple(layers), prior=top)
 
 
 @dataclasses.dataclass
@@ -229,6 +239,10 @@ class LanguageModelingTask(TaskTemplate):
     # V-component soft-classifier features of z_{t-1} fed to the causal
     # nets (0 = off; the natural setting is the vocab size).
     input_feats: int = 0
+    # Top-of-flow prior: "logistic" (factorized, reference parity) or
+    # "hmm" (learned latent state-space prior, see build_lm_flow).
+    prior: str = "logistic"
+    prior_states: int = 32
     eval_batches_count: int = 8
     compute_dtype: str = "bfloat16"
     name: str = "language_modeling"
@@ -245,7 +259,9 @@ class LanguageModelingTask(TaskTemplate):
                                self.lstm_layers, self.num_mixtures,
                                self.compute_dtype, net=self.net,
                                seq_len=self.seq_len,
-                               input_feats=self.input_feats))
+                               input_feats=self.input_feats,
+                               prior=self.prior,
+                               prior_states=self.prior_states))
 
     def _chunks(self, split: str, rng: np.random.Generator,
                 n: int) -> np.ndarray:

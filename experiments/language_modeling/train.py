@@ -33,6 +33,11 @@ def main():
     p.add_argument("--input_feats", type=int, default=0,
                    help="V-component soft-classifier features of z_{t-1} "
                    "fed to the causal nets (0 = off; natural V = vocab)")
+    p.add_argument("--prior", type=str, default="logistic",
+                   choices=["logistic", "gaussian", "hmm"],
+                   help="top-of-flow prior; 'hmm' = learned latent "
+                   "state-space prior (see flows.HMMPrior)")
+    p.add_argument("--prior_states", type=int, default=32)
     p.set_defaults(batch_size=128, encoding_dim=3, num_layers=2,
                    hidden_dim=512, num_mixtures=16)
     args = p.parse_args()
@@ -43,6 +48,7 @@ def main():
         num_layers=args.num_layers, hidden_dim=args.hidden_dim,
         lstm_layers=args.lstm_layers, num_mixtures=args.num_mixtures,
         net=args.net, input_feats=args.input_feats,
+        prior=args.prior, prior_states=args.prior_states,
         compute_dtype=args.compute_dtype)
     final = run_training(task, args)
     opt = task.analytic_optimum_bpd()
