@@ -340,15 +340,23 @@ class GraphCNF:
         """Ancestral sampling given a node mask (node count drawn by task).
 
         Returns (atoms [B,N], edges [B,E] with 0=virtual/1..R=bond type).
-        ``temperature`` scales the prior draws of all three stages.
+        ``temperature`` scales the prior draws: a scalar applies to all
+        three stages; a length-3 vector ``(t_node, t_exist, t_bond)``
+        sets each stage separately (the existence-stage temperature
+        controls sampled edge density — the fragmentation/valence
+        trade-off the failure-mode diagnostics isolate — independently
+        of node- and bond-type concentration).  Traced either way, so a
+        sweep reuses one compiled executable.
         """
         B = node_mask.shape[0]
+        temps = jnp.broadcast_to(
+            jnp.asarray(temperature, jnp.float32).reshape(-1), (3,))
         k1, k2, k3 = jax.random.split(rng, 3)
         e_mask = self.edge_mask(node_mask)
 
         # stage 1: nodes
         zp_v = self.flow_node.prior.sample(k1, (B, self.max_nodes,
-                                                self.node_dim), temperature)
+                                                self.node_dim), temps[0])
         z_v, _ = self.flow_node.inverse(params["flow_node"], zp_v,
                                         mask=node_mask)
         atoms = self.enc_node.decode(params["enc_node"], z_v)
@@ -356,7 +364,7 @@ class GraphCNF:
         # stage 2: edge existence | node latents
         zp_e1 = self.flow_exist.prior.sample(k2, (B, self.num_edges,
                                                   self.exist_dim),
-                                             temperature)
+                                             temps[1])
         node_feat = self._node_feat(z_v, atoms, node_mask)
         cond_e1 = {"node_feat": node_feat, "node_mask": node_mask}
         z_e1, _ = self.flow_exist.inverse(params["flow_exist"], zp_e1,
@@ -373,7 +381,7 @@ class GraphCNF:
         # see tests/test_mask_integrity.py::test_bond_gating_consistency).
         bond_mask = e_mask * exist.astype(jnp.float32)
         zp_e2 = self.flow_bond.prior.sample(k3, (B, self.num_edges,
-                                                 self.bond_dim), temperature)
+                                                 self.bond_dim), temps[2])
         cond_e2 = {"node_feat": self._bond_node_feat(node_feat, exist,
                                                      e_mask, node_mask),
                    "node_mask": node_mask,

@@ -177,18 +177,24 @@ class MoleculeTask(TaskTemplate):
         return (np.arange(self.max_nodes)[None, :]
                 < counts[:, None]).astype(np.float32)
 
+    # sample_eval may pass per-stage "t_node:t_exist:t_bond" temperatures
+    supports_stage_temperatures = True
+
     def sample_many(self, params, rng: jax.Array, num_samples: int,
-                    temperature: float = 1.0
+                    temperature=1.0
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched jitted sampling loop -> (atoms, edges, node_mask) with
         ``num_samples`` rows (reference evaluates on 10k samples; VERDICT
         r1 #6 requires CI-sized sample statistics)."""
-        # temperature rides as a TRACED scalar so temperature sweeps
-        # (sample_eval CLI) reuse one compiled executable instead of
+        # temperature rides as a TRACED length-3 vector (scalar inputs
+        # broadcast; "a:b:c" per-stage inputs from sample_eval arrive as
+        # tuples) so any sweep reuses ONE compiled executable instead of
         # recompiling the whole sampling graph per temperature (5-10 min
         # each through the TPU tunnel).
         sample_fn = jax.jit(lambda p, k, m, t: self.model.sample(
             p, k, m, temperature=t))
+        temps = np.broadcast_to(
+            np.asarray(temperature, np.float32).reshape(-1), (3,))
         np_rng = np.random.default_rng(int(jax.random.randint(
             rng, (), 0, 2**31 - 1)))
         chunks_a, chunks_e, chunks_m = [], [], []
@@ -199,7 +205,7 @@ class MoleculeTask(TaskTemplate):
             node_mask = self.sample_node_mask(np_rng, self.batch_size)
             atoms, edges = sample_fn(params, jax.random.fold_in(rng, i),
                                      jnp.asarray(node_mask),
-                                     jnp.float32(temperature))
+                                     jnp.asarray(temps))
             chunks_a.append(np.asarray(atoms)[:b])
             chunks_e.append(np.asarray(edges)[:b])
             chunks_m.append(node_mask[:b])
@@ -210,7 +216,7 @@ class MoleculeTask(TaskTemplate):
 
     def sample_metrics(self, params, rng: jax.Array,
                        num_samples: Optional[int] = None,
-                       temperature: float = 1.0) -> dict:
+                       temperature=1.0) -> dict:
         num_samples = num_samples or self.metric_samples
         atoms, edges, node_mask = self.sample_many(params, rng, num_samples,
                                                    temperature)

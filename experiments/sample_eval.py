@@ -48,7 +48,18 @@ def main():
     extra = {}
     if "num_samples" in sig:
         extra["num_samples"] = args.num_samples
-    temps = [float(t) for t in args.temperatures.split(",")]
+    # A token is either a scalar "0.85" or a per-stage "t_node:t_exist:
+    # t_bond" triple (GraphCNF stage temperatures; models/graphcnf.py
+    # sample()).  Per-stage tokens require task support.
+    def parse_temp(tok):
+        parts = [float(x) for x in tok.split(":")]
+        return parts[0] if len(parts) == 1 else tuple(parts)
+    temps = [parse_temp(t) for t in args.temperatures.split(",")]
+    if any(isinstance(t, tuple) for t in temps) and not getattr(
+            handle.task, "supports_stage_temperatures", False):
+        print(f"{handle.task.name}: no per-stage temperature support; "
+              "dropping triple tokens", file=sys.stderr)
+        temps = [t for t in temps if not isinstance(t, tuple)] or [1.0]
     if "temperature" not in sig and temps != [1.0]:
         print(f"{handle.task.name}: no temperature knob; evaluating T=1 "
               "only", file=sys.stderr)
@@ -60,7 +71,8 @@ def main():
         if "temperature" in sig:
             kw["temperature"] = t
         metrics = handle.task.sample_metrics(handle.params, rng, **kw)
-        row = {"temperature": t, "step": handle.step,
+        row = {"temperature": list(t) if isinstance(t, tuple) else t,
+               "step": handle.step,
                **({"num_samples": args.num_samples} if extra else {}),
                **{k: float(v) for k, v in metrics.items()}}
         rows.append(row)
