@@ -71,9 +71,12 @@ def test_eval_bpd_cli_no_write(tiny_run):
 
 
 def test_sample_eval_cli_writes_sweep(tiny_run):
+    # the "a:b:c" per-stage token (GraphCNF-only) must be dropped with a
+    # notice on tasks without stage-temperature support, not crash
     r = _cli("sample_eval.py", "--run", tiny_run,
-             "--temperatures", "1.0,0.7", "--num_samples", "64")
+             "--temperatures", "1.0,0.7,1.0:0.8:1.0", "--num_samples", "64")
     assert r.returncode == 0, r.stderr[-2000:]
+    assert "no per-stage temperature support" in r.stderr
     sweep = json.load(open(os.path.join(tiny_run, "temperature_sweep.json")))
     assert [row["temperature"] for row in sweep] == [1.0, 0.7]
     for row in sweep:
