@@ -18,6 +18,8 @@ best-checkpoint tracking, metrics, resume.  TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
+import signal
+import threading
 import time
 from typing import Optional
 
@@ -189,7 +191,27 @@ class Trainer:
         ckpt_every = cfg.checkpoint_every or cfg.eval_every
         t_last = time.time()
         steps_since = 0
+        # Graceful preemption (SIGTERM = what `timeout`, the campaign
+        # controllers, and real TPU-VM preemptions deliver): stop the loop
+        # at the next step boundary, save a resumable last-checkpoint, and
+        # run the FULL final phase (best-params sample metrics + test
+        # eval) — previously a timed-out run died mid-step and lost its
+        # final metrics to the post-hoc CLIs.  Handler installation only
+        # works in the main thread; elsewhere we skip it (tests that run
+        # train() in a thread keep the default behavior).
+        self._stop_requested = False
+        prev_handler = None
+        if threading.current_thread() is threading.main_thread():
+            def _on_sigterm(signum, frame):
+                self._stop_requested = True
+                print("SIGTERM: finishing current step, then final eval",
+                      flush=True)
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        end_step = start_step
         for step in range(start_step, cfg.num_steps):
+            if self._stop_requested:
+                break
+            end_step = step + 1
             if cfg.profile_dir and step == cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
             batch = next(data_iter)
@@ -234,6 +256,12 @@ class Trainer:
                     or step + 1 == cfg.num_steps):
                 ckpt_last.save(int(state.step), state)
 
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+        if self._stop_requested and ckpt_last is not None:
+            # Resumable from the exact preemption point.
+            ckpt_last.save(int(state.step), state)
+
         # Final sample metrics come from the BEST params (the model the
         # best_bpd refers to), not the last step (ADVICE r1 low).
         best_params = self._best_params_host
@@ -244,6 +272,8 @@ class Trainer:
         best_params = jax.device_put(best_params, self._replicated)
 
         final = {"best_bpd": best_bpd}
+        if self._stop_requested:
+            final["preempted"] = 1.0
         final.update(self.task.sample_metrics(
             best_params, jax.random.fold_in(rng, 777)))
         if cfg.out_dir:
@@ -253,8 +283,8 @@ class Trainer:
         if cfg.run_test:
             test_metrics = self.test(best_params)
             final.update(test_metrics)
-            self.logger.log(cfg.num_steps, test_metrics, "test")
-        self.logger.log(cfg.num_steps, final, "final")
+            self.logger.log(end_step, test_metrics, "test")
+        self.logger.log(end_step, final, "final")
         self._final_state = state
         self._best_params = best_params
         return final
