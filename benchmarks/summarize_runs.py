@@ -50,6 +50,10 @@ def main(runs_dir="runs"):
                 if k in f:
                     extra[k] = f[k]
         alarm = any(r.get("integrity_alarm", 0) for r in vals + finals)
+        # A preempted final means the run stopped early (SIGTERM/timeout):
+        # its numbers are a waypoint at final["step"], not convergence.
+        if finals and finals[-1].get("preempted"):
+            extra["preempted_at"] = float(finals[-1]["step"])
         rows.append((name, best, gap, test_bpd, sps, extra, alarm))
     print("| run | best val bpd | gap to optimum | test bpd | steps/s "
           "| sample metrics |")
