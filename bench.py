@@ -114,7 +114,10 @@ def main():
                            jax.random.fold_in(rng, i))
     loss.block_until_ready()
 
-    n_steps = 30
+    # ≥100 timed steps: a 30-step window through the tunnel had visible
+    # run-to-run jitter on the number that headlines every round
+    # (VERDICT r2 weak #6).
+    n_steps = 120
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, pool[i % len(pool)],

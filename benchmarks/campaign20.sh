@@ -15,7 +15,7 @@ cd /root/repo
 run() {
   name=$1; tmo=$2; shift 2
   echo "=== $name: timeout $tmo $(date -u +%H:%M) ==="
-  timeout "$tmo" "$@" > "/tmp/campaign20_${name}.log" 2>&1
+  timeout -k 600 "$tmo" "$@" > "/tmp/campaign20_${name}.log" 2>&1
   echo "=== $name done (exit $?) $(date -u +%H:%M) ==="
   tail -3 "/tmp/campaign20_${name}.log"
 }

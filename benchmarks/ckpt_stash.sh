@@ -8,6 +8,15 @@
 # (molecules needs ~100k steps; a window yields ~10k) instead of
 # restarting fresh every time, which round 2 did three times.
 #
+# ADVICE r2 fixes:
+#   - stash excludes incomplete *.orbax-checkpoint-tmp-* dirs (a KILLed
+#     save must not poison the stash) and anything not ^step_\d{8}$;
+#   - restore compares the LATEST step between stash and dest and takes
+#     the newer side (previously it silently skipped when the dest
+#     existed, even stale, while still printing "restored");
+#   - the config mismatch check compares only ARCHITECTURE keys, not
+#     runtime knobs like eval_every/num_steps/lr.
+#
 # Usage:
 #   ckpt_stash.sh stash   <run_name>   # runs/<run_name> -> ~/.cache
 #   ckpt_stash.sh restore <run_name>   # ~/.cache -> runs/<run_name>
@@ -16,18 +25,45 @@ cd /root/repo
 STASH="$HOME/.cache/cnf_ckpts"
 op=$1; run=$2
 
+# Newest complete checkpoint step in a dir (empty if none).
+latest_step() {
+  local d=$1
+  [ -d "$d" ] || { echo ""; return; }
+  ls "$d" 2>/dev/null | grep -E '^step_[0-9]{8}$' | sort | tail -1
+}
+
+# Architecture fingerprint of a run config: drop runtime-only keys so a
+# changed eval_every doesn't refuse a perfectly loadable checkpoint.
+arch_hash() {
+  python3 - "$1" <<'EOF'
+import hashlib, json, sys
+RUNTIME = {"num_steps", "eval_every", "eval_samples", "log_every",
+           "out_dir", "resume", "lr", "grad_clip", "batch_size",
+           "beta_end", "beta_warmup", "seed"}
+cfg = json.load(open(sys.argv[1]))
+args = {k: v for k, v in cfg.get("args", {}).items() if k not in RUNTIME}
+blob = json.dumps({"args": args, "task": cfg.get("task")}, sort_keys=True)
+print(hashlib.sha256(blob.encode()).hexdigest())
+EOF
+}
+
 case "$op" in
   stash)
     for sub in checkpoints checkpoints_last; do
       src="runs/$run/$sub"
-      if [ -d "$src" ] && [ -n "$(ls -A "$src" 2>/dev/null)" ]; then
+      if [ -d "$src" ] && ls "$src" | grep -qE '^step_[0-9]{8}$'; then
         rm -rf "$STASH/$run/$sub"
-        mkdir -p "$STASH/$run"
-        cp -r "$src" "$STASH/$run/$sub"
+        mkdir -p "$STASH/$run/$sub"
+        for d in "$src"/*; do
+          base=$(basename "$d")
+          if echo "$base" | grep -qE '^step_[0-9]{8}$'; then
+            cp -r "$d" "$STASH/$run/$sub/$base"
+          fi
+        done
       fi
     done
     # config.json pins the architecture the checkpoint belongs to; the
-    # restore path refuses a mismatch rather than loading garbage.
+    # restore path refuses an architecture mismatch.
     [ -f "runs/$run/config.json" ] \
       && cp "runs/$run/config.json" "$STASH/$run/config.json"
     du -sh "$STASH/$run" 2>/dev/null || echo "nothing stashed for $run"
@@ -36,17 +72,24 @@ case "$op" in
     if [ ! -d "$STASH/$run" ]; then
       echo "no stash for $run"; exit 1
     fi
-    if [ -f "$STASH/$run/config.json" ] \
-        && [ -f "runs/$run/config.json" ] \
-        && ! cmp -s "$STASH/$run/config.json" "runs/$run/config.json"; then
-      echo "config mismatch: stash vs runs/$run — refusing restore"
-      exit 1
+    if [ -f "$STASH/$run/config.json" ] && [ -f "runs/$run/config.json" ]; then
+      h1=$(arch_hash "$STASH/$run/config.json")
+      h2=$(arch_hash "runs/$run/config.json")
+      if [ "$h1" != "$h2" ]; then
+        echo "ARCHITECTURE mismatch: stash vs runs/$run — refusing restore"
+        exit 1
+      fi
     fi
     mkdir -p "runs/$run"
     for sub in checkpoints checkpoints_last; do
-      if [ -d "$STASH/$run/$sub" ] \
-          && [ ! -d "runs/$run/$sub" ]; then
+      s_step=$(latest_step "$STASH/$run/$sub")
+      d_step=$(latest_step "runs/$run/$sub")
+      if [ -n "$s_step" ] && [ "$s_step" \> "$d_step" ]; then
+        rm -rf "runs/$run/$sub"
         cp -r "$STASH/$run/$sub" "runs/$run/$sub"
+        echo "  $sub: stash $s_step > dest ${d_step:-none} — restored"
+      else
+        echo "  $sub: dest ${d_step:-none} >= stash ${s_step:-none} — kept"
       fi
     done
     echo "restored $run: $(find "runs/$run" -maxdepth 2 -name 'step_*' \

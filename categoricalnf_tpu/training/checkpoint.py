@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Optional
 
 import jax
@@ -42,18 +43,31 @@ class CheckpointManager:
                 json.dump({k: float(v) for k, v in metrics.items()}, f)
         self._gc()
 
+    # Only COMPLETE checkpoints: an interrupted orbax save (KILL mid-save
+    # under `timeout -k`) leaves a "step_XXXXXXXX.orbax-checkpoint-tmp-*"
+    # dir whose name would crash int() and permanently break resume
+    # (ADVICE r2 medium).
+    _STEP_RE = re.compile(r"^step_(\d{8})$")
+
     def _steps(self) -> list[int]:
         out = []
         for name in os.listdir(self.dir):
-            if name.startswith("step_"):
-                out.append(int(name.split("_")[1]))
+            m = self._STEP_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
         return sorted(out)
 
     def _gc(self):
+        import shutil
         steps = self._steps()
         for s in steps[:-self.keep]:
-            import shutil
             shutil.rmtree(self._path(s), ignore_errors=True)
+        # Sweep orphaned tmp dirs from interrupted saves so they don't
+        # accumulate (and don't get stashed across windows).
+        for name in os.listdir(self.dir):
+            if "orbax-checkpoint-tmp" in name:
+                shutil.rmtree(os.path.join(self.dir, name),
+                              ignore_errors=True)
 
     def latest_step(self) -> Optional[int]:
         steps = self._steps()

@@ -188,9 +188,6 @@ class Trainer:
         state = jax.device_put(state, self._replicated)
 
         self._best_params_host = None
-        ckpt_every = cfg.checkpoint_every or cfg.eval_every
-        t_last = time.time()
-        steps_since = 0
         # Graceful preemption (SIGTERM = what `timeout`, the campaign
         # controllers, and real TPU-VM preemptions deliver): stop the loop
         # at the next step boundary, save a resumable last-checkpoint, and
@@ -207,6 +204,23 @@ class Trainer:
                 print("SIGTERM: finishing current step, then final eval",
                       flush=True)
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        end_step = start_step
+        try:
+            return self._train_loop(cfg, rng, data_iter, state, ckpt,
+                                    ckpt_last, best_bpd, start_step)
+        finally:
+            # The handler stays installed through the ENTIRE final phase
+            # (preemption save + sample metrics + test eval): preemption
+            # managers commonly re-signal, and a second SIGTERM must not
+            # kill the run mid-save with no final row (ADVICE r2 low).
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self, cfg, rng, data_iter, state, ckpt, ckpt_last,
+                    best_bpd, start_step) -> dict:
+        ckpt_every = cfg.checkpoint_every or cfg.eval_every
+        t_last = time.time()
+        steps_since = 0
         end_step = start_step
         for step in range(start_step, cfg.num_steps):
             if self._stop_requested:
@@ -256,8 +270,6 @@ class Trainer:
                     or step + 1 == cfg.num_steps):
                 ckpt_last.save(int(state.step), state)
 
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
         if self._stop_requested and ckpt_last is not None:
             # Resumable from the exact preemption point.
             ckpt_last.save(int(state.step), state)

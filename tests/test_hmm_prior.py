@@ -45,6 +45,31 @@ def test_log_prob_matches_path_enumeration():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_masked_log_prob_equals_concatenated_sequence():
+    """General masking (VERDICT r2 #8): masked positions are skipped with
+    an identity transition, so the masked density must equal the density
+    of the valid positions concatenated into a shorter sequence — for
+    trailing padding, interior holes, AND leading masks alike."""
+    S, D = 4, 2
+    prior = flows.HMMPrior(num_states=S)
+    p = {
+        "start_logits": jax.random.normal(jax.random.PRNGKey(1), (S,)),
+        "trans_logits": jax.random.normal(jax.random.PRNGKey(2), (S, S)),
+        "means": jax.random.normal(jax.random.PRNGKey(3), (S, D)) * 2.0,
+        "log_scales": jax.random.normal(jax.random.PRNGKey(4), (S, D)) * 0.3,
+    }
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 6, D)) * 1.5
+    for keep in ([0, 1, 2, 3], [0, 1, 4], [2, 3, 5], [1], []):
+        mask = np.zeros((1, 6), np.float32)
+        mask[0, keep] = 1.0
+        got = float(prior.log_prob(p, z, mask=jnp.asarray(mask))[0])
+        if keep:
+            want = float(prior.log_prob(p, z[:, keep])[0])
+        else:
+            want = 0.0
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5), keep
+
+
 def test_flow_model_parametric_prior_plumbing():
     D = 4
     model = flows.FlowModel(
