@@ -70,7 +70,12 @@ def main():
     import os
     import subprocess
     import sys
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # The env var alone does NOT steer the axon plugin (CLAUDE.md
+        # gotcha); force it in-process so a CPU sanity run can never
+        # land on the TPU and contend with a live training.
+        jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS", "") not in ("",):
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -94,8 +99,11 @@ def main():
     pool = [{"x": jnp.asarray(next(gen)["x"])} for _ in range(8)]
 
     def train_step(state, batch, rng):
+        # per-step rng folds on state.step (same scheme as the Trainer)
+        step_rng = jax.random.fold_in(rng, state.step)
+
         def loss_fn(p):
-            return task.loss(p, batch, rng, 1.0)
+            return task.loss(p, batch, step_rng, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -103,25 +111,49 @@ def main():
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=opt_state), loss
 
-    step = jax.jit(train_step, donate_argnums=(0,))
-    lowered = step.lower(state, pool[0], rng)
-    compiled = lowered.compile()
-    flops = step_flops(compiled)
+    # Multi-step dispatch (engine steps_per_call): K steps per device call
+    # as a lax.scan over a [K, B, ...] stack — the product's fast path.
+    # Amortizes the per-dispatch host<->device round-trip, which at ~2 ms
+    # of compute per step through the TPU tunnel is a material fraction.
+    K = 8
+    # two distinct [K, B, S] stacks, alternated per call (belt&braces on
+    # top of the donated chained state: no two calls share all args)
+    stacks = [
+        {"x": jnp.stack([b["x"] for b in pool])},
+        {"x": jnp.stack([jnp.asarray(next(gen)["x"]) for _ in range(8)])},
+    ]
+
+    def multi_step(state, batches, rng):
+        def body(st, b):
+            return train_step(st, b, rng)
+
+        return jax.lax.scan(body, state, batches)
+
+    step = jax.jit(multi_step, donate_argnums=(0,))
+    step.lower(state, stacks[0], rng).compile()
+    # FLOPs from the SINGLE-step lowering: XLA's cost analysis counts a
+    # scan body ONCE regardless of trip count, so the K-step call reports
+    # the same figure as one step.  Using the single-step program keeps
+    # the per-step FLOP methodology identical to BENCH_r02.
+    single = jax.jit(train_step).lower(
+        jax.tree.map(lambda a: a, state), pool[0], rng).compile()
+    flops = step_flops(single)
 
     # Warmup (donation means the traced step call re-uses the compiled fn)
     for i in range(3):
-        state, loss = step(state, pool[i % len(pool)],
-                           jax.random.fold_in(rng, i))
+        state, loss = step(state, stacks[i % 2], rng)
     loss.block_until_ready()
 
     # ≥100 timed steps: a 30-step window through the tunnel had visible
     # run-to-run jitter on the number that headlines every round
-    # (VERDICT r2 weak #6).
-    n_steps = 120
+    # (VERDICT r2 weak #6).  Batch contents vary per step (the K-stack
+    # holds 8 distinct batches) and the donated state chains, so an
+    # identical-arg replay cannot report impossible times.
+    n_calls = int(os.environ.get("CNF_BENCH_CALLS", "16"))
+    n_steps = n_calls * K
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss = step(state, pool[i % len(pool)],
-                           jax.random.fold_in(rng, 100 + i))
+    for i in range(n_calls):
+        state, loss = step(state, stacks[i % 2], rng)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
 

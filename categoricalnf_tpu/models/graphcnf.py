@@ -99,6 +99,12 @@ class GraphCNF:
     bond_dim: int = 3
     num_layers_node: int = 4
     num_layers_edge: int = 4
+    # Bond-stage depth, independent of the exist stage (0 = follow
+    # num_layers_edge).  Round-3 lever for the diagnosed stage-3
+    # double-bond deficit: the bond flow under-allocates prior mass to
+    # the double-bond mode (~8-10% sampled vs ~21% in data; RESULTS.md
+    # diagnostics), and the exist stage does not need the extra depth.
+    num_layers_bond: int = 0
     hidden_dim: int = 96
     num_mixtures: int = 8
     # Round-2 conditioning levers (default off for checkpoint compat; all
@@ -169,7 +175,8 @@ class GraphCNF:
     def flow_bond(self):
         feat = self.exist_dim + (2 if self.bond_cond_exist else 0)
         return build_edge_flow(self.bond_dim, self.max_nodes,
-                               feat, self.num_layers_edge,
+                               feat,
+                               self.num_layers_bond or self.num_layers_edge,
                                self.hidden_dim, self.num_mixtures,
                                self.compute_dtype,
                                degree_norm=self.edge_degree_norm)

@@ -69,3 +69,15 @@ def shard_batch(mesh: Mesh, batch):
     """Device-put a PyTree of [B, ...] arrays with B sharded over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] multi-step batch stacks: steps replicated (the scan
+    consumes them sequentially), batch over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_stacked_batch(mesh: Mesh, batch):
+    """Device-put a PyTree of [K, B, ...] stacks for steps_per_call > 1."""
+    sh = stacked_batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

@@ -77,6 +77,7 @@ class MoleculeTask(TaskTemplate):
     batch_size: int = 64
     num_layers_node: int = 4
     num_layers_edge: int = 4
+    num_layers_bond: int = 0  # 0 = follow num_layers_edge
     hidden_dim: int = 96
     num_mixtures: int = 8
     edge_degree_norm: str = "nodes"
@@ -98,6 +99,7 @@ class MoleculeTask(TaskTemplate):
             max_nodes=self.max_nodes,
             num_layers_node=self.num_layers_node,
             num_layers_edge=self.num_layers_edge,
+            num_layers_bond=self.num_layers_bond,
             hidden_dim=self.hidden_dim, num_mixtures=self.num_mixtures,
             edge_degree_norm=self.edge_degree_norm,
             bond_cond_exist=self.bond_cond_exist,

@@ -59,6 +59,18 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
     return flows.FlowModel(layers=tuple(layers), prior=flows.LogisticPrior())
 
 
+def _encoding_kwargs(task) -> dict:
+    """Per-encoding extra kwargs from the task's ablation knobs."""
+    if task.encoding_name in ("vardeq", "variational_dequantization"):
+        return {"num_blocks": task.vardeq_blocks,
+                "hidden_dim": task.vardeq_hidden,
+                "num_mixtures": task.vardeq_mixtures}
+    if (task.encoding_name in ("mixture", "mixture_model")
+            and task.decoder != "bayes"):
+        return {"decoder": task.decoder}
+    return {}
+
+
 @dataclasses.dataclass
 class SetShufflingTask(TaskTemplate):
     """Uniform over permutations of S tokens."""
@@ -72,12 +84,21 @@ class SetShufflingTask(TaskTemplate):
     num_mixtures: int = 8
     eval_batches_count: int = 4
     compute_dtype: str = "float32"
+    # Ablation knobs (VERDICT r2 next #7): the learned-decoder arm (C13)
+    # and a capacity-configurable dequant flow so the vardeq cell can be
+    # capacity-matched to the paper's ≈3.0 baseline instead of the
+    # deliberately-minimal 2-block/64-wide default.
+    decoder: str = "bayes"
+    vardeq_blocks: int = 2
+    vardeq_hidden: int = 64
+    vardeq_mixtures: int = 4
     name: str = "set_shuffling"
 
     def __post_init__(self):
         enc = encodings.create_encoding(
             self.encoding_name, num_categories=self.set_size,
-            dim=self.encoding_dim)
+            dim=self.encoding_dim,
+            **_encoding_kwargs(self))
         self.model = CategoricalFlow(
             encoding=enc,
             flow=build_set_flow(enc.dim, self.num_layers, self.hidden_dim,
@@ -162,6 +183,10 @@ class SetSummationTask(TaskTemplate):
     num_mixtures: int = 8
     eval_batches_count: int = 4
     compute_dtype: str = "float32"
+    decoder: str = "bayes"
+    vardeq_blocks: int = 2
+    vardeq_hidden: int = 64
+    vardeq_mixtures: int = 4
     name: str = "set_summation"
 
     def __post_init__(self):
@@ -170,7 +195,8 @@ class SetSummationTask(TaskTemplate):
                                     (self.num_categories + 1) / 2)
         enc = encodings.create_encoding(
             self.encoding_name, num_categories=self.num_categories,
-            dim=self.encoding_dim if self.encoding_name != "vardeq" else 1)
+            dim=self.encoding_dim if self.encoding_name != "vardeq" else 1,
+            **_encoding_kwargs(self))
         self.model = CategoricalFlow(
             encoding=enc,
             flow=build_set_flow(enc.dim, self.num_layers, self.hidden_dim,

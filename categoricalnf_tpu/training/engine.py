@@ -62,6 +62,16 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_start: int = 10
     profile_steps: int = 5
+    # Multi-step training: run K optimizer steps per device call as a
+    # lax.scan over a [K, B, ...] batch stack.  Amortizes the per-dispatch
+    # host<->device round-trip (significant through the TPU tunnel: the
+    # flagship step is ~2 ms of compute) and lets XLA overlap step
+    # boundaries.  The rng/β/step arithmetic is bit-identical to K=1
+    # (per-step rng folds on state.step INSIDE the scan); logging/eval/
+    # checkpoint cadences fire on boundary CROSSINGS so they need not be
+    # multiples of K.  Steps that don't fit a full K-chunk (resume from an
+    # arbitrary preemption point, final remainder) run single-step.
+    steps_per_call: int = 1
 
 
 class Trainer:
@@ -109,6 +119,19 @@ class Trainer:
         del data_sh  # batches arrive pre-sharded via shard_batch()
         self._replicated = repl
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        if self.config.steps_per_call > 1:
+            def multi_step(state, batches, base_rng):
+                def body(st, b):
+                    return train_step(st, b, base_rng)
+
+                state, ms = jax.lax.scan(body, state, batches)
+                # report the LAST microstep's metrics (what a K=1 loop
+                # would have had in hand at the same step count)
+                return state, jax.tree.map(lambda a: a[-1], ms)
+
+            self._multi_step = jax.jit(multi_step, donate_argnums=(0,))
+        else:
+            self._multi_step = None
         self._eval_step = jax.jit(eval_step, static_argnums=(3,))
         # When the mesh has a nontrivial 'sample' axis, IS chains shard
         # over it (VERDICT r1 #8); otherwise plain jit.
@@ -126,9 +149,19 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
         from categoricalnf_tpu.data.prefetch import Prefetcher
+        K = max(1, int(cfg.steps_per_call))
         # _shard runs in the worker thread: H2D transfer overlaps compute.
-        data_iter = Prefetcher(self.task.train_batches(np_rng),
-                               transform=self._shard)
+        if K > 1:
+            def grouped(it):
+                while True:
+                    items = [next(it) for _ in range(K)]
+                    yield jax.tree.map(lambda *xs: np.stack(xs), *items)
+
+            data_iter = Prefetcher(grouped(self.task.train_batches(np_rng)),
+                                   transform=self._shard_stacked)
+        else:
+            data_iter = Prefetcher(self.task.train_batches(np_rng),
+                                   transform=self._shard)
 
         start_step = 0
         ckpt = (ckpt_lib.CheckpointManager(cfg.out_dir, cfg.keep_checkpoints)
@@ -150,6 +183,8 @@ class Trainer:
             # checkpoint will overwrite the params anyway (it costs a full
             # eager calibration pass on the device).
             calib = next(data_iter)  # already sharded by the prefetcher
+            if K > 1:  # stacked [K, B, ...] — calibrate on the first slice
+                calib = jax.tree.map(lambda a: a[0], calib)
             params = self.task.data_init(
                 params, calib, jax.random.fold_in(rng, 999))
         state = TrainState.create(params, self.tx)
@@ -219,43 +254,67 @@ class Trainer:
     def _train_loop(self, cfg, rng, data_iter, state, ckpt, ckpt_last,
                     best_bpd, start_step) -> dict:
         ckpt_every = cfg.checkpoint_every or cfg.eval_every
+        K = max(1, int(cfg.steps_per_call))
+        single_iter = None
+        if K > 1:
+            # On-demand single-batch source for steps that don't fit a
+            # full K-chunk (remainder at num_steps; misaligned resume).
+            # Fresh stream: the stacked prefetcher owns the main np_rng.
+            src = self.task.train_batches(np.random.default_rng(
+                cfg.seed + 17))
+            single_iter = (self._shard(b) for b in src)
         t_last = time.time()
         steps_since = 0
         end_step = start_step
-        for step in range(start_step, cfg.num_steps):
+        prof_on = False
+        step = start_step
+        while step < cfg.num_steps:
             if self._stop_requested:
                 break
-            end_step = step + 1
-            if cfg.profile_dir and step == cfg.profile_start:
+            if cfg.profile_dir and not prof_on and step >= cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
-            batch = next(data_iter)
-            state, metrics = self._train_step(state, batch, rng)
-            if (cfg.profile_dir
-                    and step == cfg.profile_start + cfg.profile_steps - 1):
-                jax.tree.map(
-                    lambda a: a.block_until_ready(), metrics)
+                prof_on = True
+            if K > 1 and step + K <= cfg.num_steps:
+                state, metrics = self._multi_step(state, next(data_iter),
+                                                  rng)
+                k = K
+            else:
+                state, metrics = self._train_step(
+                    state, next(single_iter if single_iter is not None
+                                else data_iter), rng)
+                k = 1
+            prev, step = step, step + k
+            end_step = step
+            steps_since += k
+            if (prof_on and cfg.profile_dir
+                    and step >= cfg.profile_start + cfg.profile_steps):
+                jax.tree.map(lambda a: a.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
-            steps_since += 1
+                prof_on = False
+                cfg = dataclasses.replace(cfg, profile_dir=None)
 
-            if (step + 1) % cfg.log_every == 0:
+            def crossed(every):  # cadence boundary inside (prev, step]
+                return step // every > prev // every
+
+            if crossed(cfg.log_every):
                 # Force the metrics BEFORE reading the clock: dispatch is
                 # async, so measuring dt first reports dispatch speed (the
                 # python loop runs ~2000 steps ahead), not wall throughput
                 # — the r1 "36M tokens/s" artifact.
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k2: float(v) for k2, v in metrics.items()}
                 dt = time.time() - t_last
                 m["steps_per_s"] = steps_since / max(dt, 1e-9)
-                self.logger.log(step + 1, m, "train")
+                self.logger.log(step, m, "train")
                 t_last, steps_since = time.time(), 0
 
-            if (step + 1) % cfg.eval_every == 0 or step + 1 == cfg.num_steps:
-                is_final = step + 1 == cfg.num_steps
+            if crossed(cfg.eval_every) or step == cfg.num_steps:
+                is_final = step == cfg.num_steps
                 eval_metrics = self.evaluate(
                     state.params,
                     num_samples=(cfg.final_eval_samples if is_final
                                  else cfg.eval_samples),
-                    rng=jax.random.fold_in(rng, 2**30 + step))
-                self.logger.log(step + 1, eval_metrics, "val")
+                    rng=jax.random.fold_in(rng, 2**30 + step - 1))
+                self.logger.log(step, eval_metrics, "val")
                 # An alarmed eval (impossible bpd) must never become the
                 # "best" checkpoint inference will serve.
                 if (eval_metrics["bpd"] < best_bpd
@@ -266,8 +325,7 @@ class Trainer:
                         ckpt.save(int(state.step), state, eval_metrics)
 
             if ckpt_last is not None and (
-                    (step + 1) % ckpt_every == 0
-                    or step + 1 == cfg.num_steps):
+                    crossed(ckpt_every) or step == cfg.num_steps):
                 ckpt_last.save(int(state.step), state)
 
         if self._stop_requested and ckpt_last is not None:
@@ -364,3 +422,7 @@ class Trainer:
         # accepts host arrays) — the old jnp.asarray pre-pass was a second
         # full H2D transfer per batch.
         return mesh_lib.shard_batch(self.mesh, batch)
+
+    def _shard_stacked(self, batch: dict):
+        # [K, B, ...] multi-step stacks (steps_per_call > 1).
+        return mesh_lib.shard_stacked_batch(self.mesh, batch)

@@ -20,8 +20,10 @@ _ARCH_KEYS = frozenset({
     "encoding", "encoding_dim", "num_layers", "hidden_dim", "num_mixtures",
     "compute_dtype", "lstm_layers", "net", "input_feats", "seq_len",
     "corpus", "dataset", "max_nodes", "num_layers_node", "num_layers_edge",
+    "num_layers_bond",
     "edge_degree_norm", "bond_cond_exist", "node_cond_atoms",
     "bond_cond_degree", "set_size", "num_colors", "min_nodes", "edge_prob",
+    "decoder", "vardeq_blocks", "vardeq_hidden", "vardeq_mixtures",
 })
 
 
@@ -41,6 +43,10 @@ def default_parser(description: str) -> argparse.ArgumentParser:
     g.add_argument("--log_every", type=int, default=100)
     g.add_argument("--beta_end", type=float, default=1.0)
     g.add_argument("--beta_warmup", type=int, default=2000)
+    g.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan "
+                   "over a stacked batch; amortizes tunnel round-trips — "
+                   "bit-identical arithmetic to 1)")
     m = p.add_argument_group("model")
     m.add_argument("--encoding", type=str, default="mixture",
                    choices=["mixture", "linear_flows", "vardeq"])
@@ -49,6 +55,17 @@ def default_parser(description: str) -> argparse.ArgumentParser:
     m.add_argument("--hidden_dim", type=int, default=96)
     m.add_argument("--num_mixtures", type=int, default=8)
     m.add_argument("--compute_dtype", type=str, default="bfloat16")
+    m.add_argument("--decoder", type=str, default="bayes",
+                   choices=["bayes", "linear", "mlp"],
+                   help="mixture-encoding decoder: parameter-free Bayes "
+                   "posterior (paper default) or the learned-decoder "
+                   "ablation (SURVEY.md C13)")
+    m.add_argument("--vardeq_blocks", type=int, default=2,
+                   help="vardeq encoding: dequant-flow coupling blocks")
+    m.add_argument("--vardeq_hidden", type=int, default=64,
+                   help="vardeq encoding: dequant coupling-net width")
+    m.add_argument("--vardeq_mixtures", type=int, default=4,
+                   help="vardeq encoding: mixture components per coupling")
     return p
 
 
@@ -60,6 +77,7 @@ def train_config_from_args(args) -> TrainConfig:
         seed=args.seed,
         out_dir=args.out_dir,
         log_every=args.log_every,
+        steps_per_call=getattr(args, "steps_per_call", 1),
         optimizer=OptimizerConfig(learning_rate=args.lr,
                                   grad_clip_norm=args.grad_clip),
         beta_schedule=ScheduleSpec(kind="sigmoid", start=0.5,

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--max_nodes", type=int, default=38)
     p.add_argument("--num_layers_node", type=int, default=4)
     p.add_argument("--num_layers_edge", type=int, default=4)
+    p.add_argument("--num_layers_bond", type=int, default=0,
+                   help="bond-stage flow depth (0 = follow num_layers_edge)")
     p.add_argument("--edge_degree_norm", type=str, default="nodes",
                    choices=["nodes", "live_edges"],
                    help="EdgeGNN edge->node normaliser; live_edges scales "
@@ -50,6 +52,7 @@ def main():
         max_nodes=args.max_nodes, batch_size=args.batch_size,
         num_layers_node=args.num_layers_node,
         num_layers_edge=args.num_layers_edge,
+        num_layers_bond=args.num_layers_bond,
         hidden_dim=args.hidden_dim, num_mixtures=args.num_mixtures,
         edge_degree_norm=args.edge_degree_norm,
         bond_cond_exist=args.bond_cond_exist,

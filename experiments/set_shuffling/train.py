@@ -24,7 +24,10 @@ def main():
         set_size=args.set_size, batch_size=args.batch_size,
         encoding_name=args.encoding, encoding_dim=args.encoding_dim,
         num_layers=args.num_layers, hidden_dim=args.hidden_dim,
-        num_mixtures=args.num_mixtures, compute_dtype=args.compute_dtype)
+        num_mixtures=args.num_mixtures, compute_dtype=args.compute_dtype,
+        decoder=args.decoder, vardeq_blocks=args.vardeq_blocks,
+        vardeq_hidden=args.vardeq_hidden,
+        vardeq_mixtures=args.vardeq_mixtures)
     final = run_training(task, args)
     print(f"optimum {task.analytic_optimum_bpd():.4f} bits/var | "
           f"best {final['best_bpd']:.4f}")

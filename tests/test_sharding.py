@@ -96,7 +96,7 @@ def test_molecule_sharded_step_matches_single_device(rng):
     """GraphCNF (masked variable-size graphs, three latent streams) is
     where SPMD partitioning has something to get wrong — certify
     sharded-vs-single equality on loss AND grads (VERDICT r2 missing #7)."""
-    from categoricalnf_tpu.tasks import MoleculeTask
+    from categoricalnf_tpu.tasks.molecules import MoleculeTask
     task = MoleculeTask(dataset="synthetic", max_nodes=12, batch_size=16,
                         num_layers_node=2, num_layers_edge=2, hidden_dim=32,
                         num_mixtures=4, synth_size=64, node_cond_atoms=True,

@@ -42,6 +42,43 @@ def test_set_shuffling_short_training_progress(tmp_path):
     assert final["best_bpd"] > opt - 0.05
 
 
+def test_steps_per_call_matches_single_step():
+    """Multi-step training (K optimizer steps per device call via
+    lax.scan) must reproduce the K=1 step arithmetic exactly: per-step
+    rng folds on state.step, β on the step index, optimizer state chains.
+    Constant batches remove data-stream alignment from the comparison.
+    Also exercises the misaligned remainder path (num_steps % K != 0)."""
+    import itertools
+
+    fixed = None
+
+    def make_trainer(steps_per_call, num_steps):
+        nonlocal fixed
+        task = _tiny_task(batch_size=64, compute_dtype="float32")
+        if fixed is None:
+            fixed = next(task.train_batches(np.random.default_rng(3)))
+        task.train_batches = lambda rng_np: itertools.repeat(fixed)
+        cfg = TrainConfig(num_steps=num_steps, eval_every=num_steps,
+                          eval_samples=1, log_every=4, out_dir=None,
+                          run_test=False, steps_per_call=steps_per_call,
+                          beta_schedule=ScheduleSpec(kind="sigmoid",
+                                                     start=0.5, end=1.0,
+                                                     center=5, rate=0.2))
+        return Trainer(task, cfg)
+
+    for num_steps in (8, 10):  # aligned and remainder-bearing
+        tr1 = make_trainer(1, num_steps)
+        tr1.train(resume=False)
+        tr4 = make_trainer(4, num_steps)
+        tr4.train(resume=False)
+        assert int(tr1._final_state.step) == num_steps
+        assert int(tr4._final_state.step) == num_steps
+        for a, b in zip(jax.tree.leaves(tr1._final_state.params),
+                        jax.tree.leaves(tr4._final_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_checkpoint_resume(tmp_path):
     task = _tiny_task()
     out = str(tmp_path / "run")
