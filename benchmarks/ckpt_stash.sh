@@ -21,8 +21,10 @@
 #   ckpt_stash.sh stash   <run_name>   # runs/<run_name> -> ~/.cache
 #   ckpt_stash.sh restore <run_name>   # ~/.cache -> runs/<run_name>
 set -eu
-cd /root/repo
-STASH="$HOME/.cache/cnf_ckpts"
+# CNF_REPO/CNF_STASH overrides exist for the sandboxed test
+# (tests/test_ckpt_stash.py); production uses the defaults.
+cd "${CNF_REPO:-/root/repo}"
+STASH="${CNF_STASH:-$HOME/.cache/cnf_ckpts}"
 op=$1; run=$2
 
 # Newest complete checkpoint step in a dir (empty if none).
