@@ -53,5 +53,18 @@ maybe_stop
 
 # 4. LM throughput re-measurement (RESULTS.md row was deferred in r2).
 run lm_bench 1800 python benchmarks/lm_bench.py
+maybe_stop
+
+# 5. Per-stage temperature grid on the finished molecules_v6 targeting
+#    the two diagnosed failure modes (bond T vs double-bond deficit,
+#    exist T vs fragmentation) — writes runs/molecules_v6/
+#    temperature_sweep.json.
+run mol_v6_stage_sweep 1800 python experiments/sample_eval.py \
+  --run runs/molecules_v6 --num_samples 1024 \
+  --temperatures "1.0,0.85,0.85:0.85:1.0,0.85:0.7:0.85,0.9:0.8:1.0"
+
+# Fresh post-training diagnostics (double-bond marginal, fragmentation).
+run mol_v6_diag 600 python benchmarks/molecule_diagnostics.py \
+  --run runs/molecules_v6 --num_samples 256
 
 echo "campaign23 complete $(date -u +%H:%M:%S)"

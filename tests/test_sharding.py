@@ -158,3 +158,18 @@ def test_trainer_runs_on_2d_mesh(tmp_path, rng):
     tr = Trainer(task, cfg, mesh=mesh)
     final = tr.train(resume=False)
     assert np.isfinite(final["best_bpd"])
+
+
+def test_trainer_multi_step_on_2d_mesh(rng):
+    """steps_per_call > 1 under a 2-axis mesh: stacked [K, B, ...]
+    batches shard over 'data', IS eval shards over 'sample'."""
+    from categoricalnf_tpu.training import TrainConfig, Trainer
+    task = _task()
+    mesh = parallel.create_mesh(num_data=4, num_sample=2)
+    cfg = TrainConfig(num_steps=6, eval_every=6, eval_samples=2,
+                      log_every=4, out_dir=None, run_test=False,
+                      steps_per_call=2)
+    tr = Trainer(task, cfg, mesh=mesh)
+    final = tr.train(resume=False)
+    assert np.isfinite(final["best_bpd"])
+    assert int(tr._final_state.step) == 6
