@@ -34,18 +34,22 @@ latest_step() {
   ls "$d" 2>/dev/null | grep -E '^step_[0-9]{8}$' | sort | tail -1
 }
 
-# Architecture fingerprint of a run config: drop runtime-only keys so a
-# changed eval_every doesn't refuse a perfectly loadable checkpoint.
-arch_hash() {
-  python3 - "$1" <<'EOF'
-import hashlib, json, sys
+# Architecture compare of two run configs: runtime-only keys are free to
+# change, and keys present in only ONE config (a flag added between
+# sessions — the other side trained with its default) don't refuse.
+arch_match() {
+  python3 - "$1" "$2" <<'EOF'
+import json, sys
 RUNTIME = {"num_steps", "eval_every", "eval_samples", "log_every",
            "out_dir", "resume", "lr", "grad_clip", "batch_size",
-           "beta_end", "beta_warmup", "seed"}
-cfg = json.load(open(sys.argv[1]))
-args = {k: v for k, v in cfg.get("args", {}).items() if k not in RUNTIME}
-blob = json.dumps({"args": args, "task": cfg.get("task")}, sort_keys=True)
-print(hashlib.sha256(blob.encode()).hexdigest())
+           "beta_end", "beta_warmup", "seed", "steps_per_call"}
+a = json.load(open(sys.argv[1]))
+b = json.load(open(sys.argv[2]))
+if a.get("task") != b.get("task"):
+    sys.exit(1)
+aa, ba = a.get("args", {}), b.get("args", {})
+keys = (set(aa) & set(ba)) - RUNTIME
+sys.exit(0 if all(aa[k] == ba[k] for k in keys) else 1)
 EOF
 }
 
@@ -75,9 +79,7 @@ case "$op" in
       echo "no stash for $run"; exit 1
     fi
     if [ -f "$STASH/$run/config.json" ] && [ -f "runs/$run/config.json" ]; then
-      h1=$(arch_hash "$STASH/$run/config.json")
-      h2=$(arch_hash "runs/$run/config.json")
-      if [ "$h1" != "$h2" ]; then
+      if ! arch_match "$STASH/$run/config.json" "runs/$run/config.json"; then
         echo "ARCHITECTURE mismatch: stash vs runs/$run — refusing restore"
         exit 1
       fi

@@ -92,3 +92,14 @@ def test_restore_refuses_architecture_mismatch_only(sandbox):
     r = _sh("restore", "r", repo, stash)
     assert r.returncode == 1
     assert "ARCHITECTURE" in r.stdout
+
+
+def test_restore_tolerates_keys_added_between_sessions(sandbox):
+    repo, stash = sandbox
+    _cfg(repo, "r", {"hidden_dim": 8})
+    _mk_ckpt(repo, "r", "checkpoints", 100)
+    _sh("stash", "r", repo, stash)
+    # a flag added in a later session (other side trained with default)
+    _cfg(repo, "r", {"hidden_dim": 8, "num_layers_bond": 0})
+    r = _sh("restore", "r", repo, stash)
+    assert r.returncode == 0, r.stdout + r.stderr
