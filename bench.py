@@ -116,12 +116,21 @@ def main():
     # Amortizes the per-dispatch host<->device round-trip, which at ~2 ms
     # of compute per step through the TPU tunnel is a material fraction.
     K = 8
-    # two distinct [K, B, S] stacks, alternated per call (belt&braces on
-    # top of the donated chained state: no two calls share all args)
+    # EVERY call (warmup + timed) gets its own [K, B, S] stack AND its own
+    # folded rng: alternating two stacks was not enough — the axon runtime
+    # replayed calls whose args matched a previous call (donation recycles
+    # the state buffer address), reporting 394 TF/s on a 197 TF/s chip
+    # (mfu 2.0).  Unique args per call make a replay impossible by
+    # construction; the compute-floor assert below catches any new
+    # variant of the artifact.
+    n_warmup = 3
+    n_calls = int(os.environ.get("CNF_BENCH_CALLS", "16"))
     stacks = [
-        {"x": jnp.stack([b["x"] for b in pool])},
-        {"x": jnp.stack([jnp.asarray(next(gen)["x"]) for _ in range(8)])},
+        {"x": jnp.stack([jnp.asarray(next(gen)["x"]) for _ in range(K)])}
+        for _ in range(n_warmup + n_calls)
     ]
+    call_rngs = [jax.random.fold_in(rng, 10_000 + i)
+                 for i in range(n_warmup + n_calls)]
 
     def multi_step(state, batches, rng):
         def body(st, b):
@@ -139,22 +148,28 @@ def main():
         jax.tree.map(lambda a: a, state), pool[0], rng).compile()
     flops = step_flops(single)
 
+    def force(x):
+        # block_until_ready() is NOT a sync barrier on the axon tunnel
+        # platform (it returned after enqueue: mfu 2.3 on a 197 TF/s
+        # chip).  A device->host VALUE read cannot lie — the bytes only
+        # exist once the chip has finished every prior call.
+        return float(np.asarray(jax.tree.leaves(x)[0]).sum())
+
     # Warmup (donation means the traced step call re-uses the compiled fn)
-    for i in range(3):
-        state, loss = step(state, stacks[i % 2], rng)
-    loss.block_until_ready()
+    for i in range(n_warmup):
+        state, loss = step(state, stacks[i], call_rngs[i])
+    force(loss)
 
     # ≥100 timed steps: a 30-step window through the tunnel had visible
     # run-to-run jitter on the number that headlines every round
-    # (VERDICT r2 weak #6).  Batch contents vary per step (the K-stack
-    # holds 8 distinct batches) and the donated state chains, so an
-    # identical-arg replay cannot report impossible times.
-    n_calls = int(os.environ.get("CNF_BENCH_CALLS", "16"))
+    # (VERDICT r2 weak #6).  Every call's batch stack and rng are unique
+    # (see above), so an identical-arg replay cannot report impossible
+    # times.
     n_steps = n_calls * K
     t0 = time.perf_counter()
-    for i in range(n_calls):
-        state, loss = step(state, stacks[i % 2], rng)
-    loss.block_until_ready()
+    for i in range(n_warmup, n_warmup + n_calls):
+        state, loss = step(state, stacks[i], call_rngs[i])
+    force(loss)
     dt = time.perf_counter() - t0
 
     samples_per_s = n_steps * batch_size / dt
@@ -174,6 +189,12 @@ def main():
         if peak:
             out["mfu"] = round(flops_per_s / peak, 4)
             out["peak_bf16_flops"] = peak
+            # A measurement above the chip's peak is physically
+            # impossible — some new replay/caching artifact slipped past
+            # the unique-args construction.  Flag it machine-readably so
+            # the number can never be quoted as real.
+            if flops_per_s > peak:
+                out["integrity_alarm"] = True
     print(json.dumps(out))
 
 
