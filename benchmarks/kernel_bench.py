@@ -14,35 +14,46 @@ import jax.numpy as jnp
 from categoricalnf_tpu.ops import numerics as nm
 from categoricalnf_tpu.ops.pallas.mixture import (mixture_forward_pallas,
                                                   mixture_inverse_pallas)
+from categoricalnf_tpu.utils.timing import sync
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, xs, *rest, iters=20):
+    """Honest tunnel timing (round-3 fixes):
+    - ``xs`` is a POOL of distinct first-args, one per iteration — no two
+      calls share all args, so the tunnel runtime's identical-arg replay
+      cannot fire (it reported mfu 2.3 on the train bench);
+    - the loop ends with a forced device->host read, because
+      block_until_ready returns after ENQUEUE on the tunnel platform
+      (utils/timing.sync)."""
+    out = fn(xs[-1], *rest)
+    sync(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = fn(xs[i % len(xs)], *rest)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
 def main():
     rng = jax.random.PRNGKey(0)
+    n_pool = 8
     for M, K in [(1 << 18, 8), (1 << 20, 8), (1 << 20, 16), (1 << 22, 8)]:
-        ks = jax.random.split(rng, 4)
-        x = jax.random.normal(ks[0], (M,)) * 2.0
-        pi = jax.random.normal(ks[1], (M, K))
-        mu = jax.random.normal(ks[2], (M, K)) * 2.0
-        ls = jax.random.normal(ks[3], (M, K)) * 0.5 - 0.5
-        y, _ = nm.mixture_logit_cdf_and_ldj(x, pi, mu, ls)
+        ks = jax.random.split(rng, 3 + n_pool)
+        pi = jax.random.normal(ks[0], (M, K))
+        mu = jax.random.normal(ks[1], (M, K)) * 2.0
+        ls = jax.random.normal(ks[2], (M, K)) * 0.5 - 0.5
+        xs = [jax.random.normal(k, (M,)) * 2.0 for k in ks[3:]]
+        x = xs[0]
+        ys = [nm.mixture_logit_cdf_and_ldj(xi, pi, mu, ls)[0] for xi in xs]
+        y = ys[0]
 
         fwd_xla = jax.jit(nm.mixture_logit_cdf_and_ldj)
         inv_xla = jax.jit(functools.partial(nm.mixture_inverse_logit_cdf))
 
-        t_fx = timeit(fwd_xla, x, pi, mu, ls)
-        t_fp = timeit(mixture_forward_pallas, x, pi, mu, ls)
-        t_ix = timeit(inv_xla, y, pi, mu, ls, iters=5)
-        t_ip = timeit(mixture_inverse_pallas, y, pi, mu, ls, iters=5)
+        t_fx = timeit(fwd_xla, xs, pi, mu, ls)
+        t_fp = timeit(mixture_forward_pallas, xs, pi, mu, ls)
+        t_ix = timeit(inv_xla, ys, pi, mu, ls, iters=5)
+        t_ip = timeit(mixture_inverse_pallas, ys, pi, mu, ls, iters=5)
 
         bytes_fwd = M * 4 * (3 * K + 3)
         print(f"M=2^{M.bit_length()-1} K={K}:")

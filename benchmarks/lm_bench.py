@@ -16,13 +16,16 @@ import optax
 
 def timeit(fn, iters=10):
     """fn(i) -> output; inputs MUST vary with i (identical-arg replays can
-    be deduplicated by the runtime and report impossible speeds)."""
+    be deduplicated by the runtime and report impossible speeds), and the
+    window must end with a forced device->host read: block_until_ready
+    returns after ENQUEUE on the tunnel platform (utils/timing.sync)."""
+    from categoricalnf_tpu.utils.timing import sync
     out = fn(0)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(1 + i)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -68,14 +71,15 @@ def main():
     step = jax.jit(train_step, donate_argnums=(0,))
     from bench import peak_flops, step_flops
     flops = step_flops(step.lower(state, batch, rng).compile())
+    from categoricalnf_tpu.utils.timing import sync
     state, loss = step(state, batch, rng)
-    loss.block_until_ready()
+    sync(loss)
     n = 30
     t0 = time.perf_counter()
     for i in range(n):
         state, loss = step(state, pool[i % len(pool)],
                            jax.random.fold_in(rng, i))
-    loss.block_until_ready()
+    sync(loss)
     t = (time.perf_counter() - t0) / n
     print(f"train: {B * T / t / 1e6:8.2f} M tokens/s  ({t*1e3:.2f} ms/step)")
     peak = peak_flops(jax.devices()[0])

@@ -39,17 +39,22 @@ def _build(batch_size: int):
 
 
 def _time(fn, args_fn, n: int, warmup: int = 3) -> float:
-    """Median-of-3 of n-call wall time; args_fn(i) supplies varying args."""
+    """Median-of-3 of n-call wall time; args_fn(i) supplies varying args.
+
+    Windows end with a forced device->host value read: block_until_ready
+    returns after ENQUEUE on the tunnel platform (utils/timing.sync), so
+    blocking on it times dispatch, not execution."""
+    from categoricalnf_tpu.utils.timing import sync
     out = None
     for i in range(warmup):
         out = fn(*args_fn(i))
-    jax.block_until_ready(out)
+    sync(out)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(n):
             out = fn(*args_fn(i))
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
     return sorted(times)[1] / n
 
@@ -166,12 +171,13 @@ def main():
     fn = jax.jit(lambda st, bs, r: jax.lax.scan(
         lambda s, b: train_step(s, b, r), st, bs))
     st = state
+    from categoricalnf_tpu.utils.timing import sync
     st, loss = fn(st, stacks[0], rng)  # compile outside the trace
-    jax.block_until_ready(loss)
+    sync(loss)
     jax.profiler.start_trace(args.out)
     for i in range(args.trace_steps):
         st, loss = fn(st, stacks[i % 2], rng)
-    jax.block_until_ready(loss)
+    sync(loss)
     jax.profiler.stop_trace()
     print(f"\ntrace written to {args.out}", flush=True)
 
