@@ -105,3 +105,16 @@ def test_check_resume_args_missing_key_falls_back_to_task_default(tmp_path):
     # CLI-renamed keys resolve through inference._ARG_RENAMES
     with pytest.raises(ValueError, match="encoding"):
         check_resume_args(d, {"encoding": "vardeq"}, task=task)
+
+
+def test_timing_sync_forces_value_read():
+    """utils.timing.sync must return a real host float from any PyTree
+    (the only trustworthy barrier on the tunnel platform — PERFORMANCE.md
+    round-3 measurement-integrity discovery)."""
+    import jax.numpy as jnp
+
+    from categoricalnf_tpu.utils.timing import sync
+
+    assert sync(jnp.arange(6.0).reshape(2, 3)) == 0.0
+    assert sync({"a": jnp.full((4,), 7.0), "b": jnp.zeros(())}) == 7.0
+    assert sync(jnp.asarray(3.5)) == 3.5
