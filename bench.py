@@ -85,7 +85,7 @@ def main():
                   "falling back to CPU", flush=True)
             jax.config.update("jax_platforms", "cpu")
 
-    batch_size = 1024
+    batch_size = int(os.environ.get("CNF_BENCH_BATCH", "1024"))
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
                             num_mixtures=8, compute_dtype="bfloat16")
@@ -115,7 +115,7 @@ def main():
     # as a lax.scan over a [K, B, ...] stack — the product's fast path.
     # Amortizes the per-dispatch host<->device round-trip, which at ~2 ms
     # of compute per step through the TPU tunnel is a material fraction.
-    K = 8
+    K = int(os.environ.get("CNF_BENCH_K", "8"))
     # EVERY call (warmup + timed) gets its own [K, B, S] stack AND its own
     # folded rng: alternating two stacks was not enough — the axon runtime
     # replayed calls whose args matched a previous call (donation recycles
