@@ -22,7 +22,7 @@
 # only unpacks files; the Trainer's resume guard still refuses a changed
 # architecture.
 set -euo pipefail
-cd /root/repo
+cd "${CNF_REPO:-/root/repo}"   # override for sandboxed tests
 cmd=${1:?stash|restore}
 run=${2:?run name}
 bundle="persist/${run}.tar.gz"
@@ -45,9 +45,12 @@ case "$cmd" in
     tar -czf "$bundle.tmp" "${paths[@]}"
     mv "$bundle.tmp" "$bundle"
     du -h "$bundle"
-    git add "$bundle"
-    git commit -q -m "persist: $run resume bundle ($(basename "${last:-$best}"))" \
-      || echo "bundle unchanged"
+    if [ -z "${CNF_BUNDLE_NO_GIT:-}" ]; then
+      git add "$bundle"
+      git commit -q -m \
+        "persist: $run resume bundle ($(basename "${last:-$best}"))" \
+        || echo "bundle unchanged"
+    fi
     ;;
   restore)
     [ -f "$bundle" ] || { echo "no bundle for $run"; exit 0; }
