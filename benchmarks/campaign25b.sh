@@ -68,6 +68,19 @@ lm_chunk() {
     "lm_v6 $1: metrics ($(steps_done lm_v6) steps)" || true
 }
 
+# ---- Stage 0: datasets + resume sources (next-window relaunch path) ------
+[ -f data/zinclike250k.npz ] || python experiments/molecule_generation/preprocess.py \
+  --synthetic 250000 --style zinc_like --name zinclike250k --out_dir data \
+  --max_nodes 24 > "$LOG/prep_zinc.log" 2>&1
+[ -f data/moseslike50k.npz ] || python experiments/molecule_generation/preprocess.py \
+  --synthetic 50000 --style moses_like --name moseslike50k --out_dir data \
+  --max_nodes 24 > "$LOG/prep_moses.log" 2>&1
+for r in molecules_v7 lm_v6 coloring2 moses shuffle_vardeq_cm \
+         shuffle_decoder_mlp; do
+  bash benchmarks/ckpt_stash.sh restore "$r" 2>/dev/null || true
+  bash benchmarks/ckpt_bundle.sh restore "$r" 2>/dev/null || true
+done
+
 maybe_stop; mol_chunk c2 3300
 maybe_stop; mol_eval10k e1
 maybe_stop; lm_chunk c1 3300
