@@ -69,6 +69,20 @@ def main():
     # ---- probe 1: engine-style single-step loop -------------------------
     step1 = jax.jit(train_step, donate_argnums=(0,))
     pool = [{"x": jnp.asarray(next(gen)["x"])} for _ in range(16)]
+    try:
+        cost = step1.lower(state, pool[0], rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        interesting = {k: v for k, v in cost.items()
+                       if k in ("flops", "bytes accessed", "transcendentals",
+                                "optimal_seconds")
+                       or k.startswith("bytes accessed")}
+        print("0 cost_analysis:", {k: f"{v:.3e}" for k, v in
+                                   sorted(interesting.items())}, flush=True)
+        results["cost_analysis"] = {k: float(v) for k, v in
+                                    interesting.items()}
+    except Exception as e:  # noqa: BLE001
+        print(f"0 cost_analysis unavailable: {type(e).__name__}", flush=True)
     for i in range(3):
         state, loss = step1(state, pool[i % 16], rng)
     sync(loss)
