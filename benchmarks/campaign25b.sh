@@ -81,9 +81,12 @@ for r in molecules_v7 lm_v6 coloring2 moses shuffle_vardeq_cm \
   bash benchmarks/ckpt_bundle.sh restore "$r" 2>/dev/null || true
 done
 
-maybe_stop; mol_chunk c2 3300
-maybe_stop; mol_eval10k e1
+# Robust priority order for an uncertain window horizon: LM first (zero
+# TPU steps across two rounds = the repeated miss), then the guaranteed
+# n>=10k molecule eval on the c1 checkpoint, then more molecule chunks.
 maybe_stop; lm_chunk c1 3300
+maybe_stop; mol_eval10k e1
+maybe_stop; mol_chunk c2 3300
 maybe_stop; lm_chunk c2 3300
 maybe_stop
 if [ "$(steps_done lm_v6)" -gt 0 ]; then
