@@ -88,7 +88,8 @@ class CausalTransformer:
         h = concat_cond(x, cond)
         if shift:
             h = jnp.concatenate([jnp.zeros_like(h[:, :1]), h[:, :-1]], axis=1)
-        h = dense(params["embed"], h, self._dtype) + params["pos"][:T]
+        h = dense(params["embed"], h, self._dtype) \
+            + params["pos"][:T].astype(self._dtype)
         causal = jnp.tril(jnp.ones((T, T), bool))
         if mask is not None:
             causal = causal & jnp.asarray(mask, bool)[:, None, :]
@@ -128,7 +129,7 @@ class CausalTransformer:
         nh, hd = self.num_heads, self._head_dim
         h = concat_cond(x_t, cond_t)
         h = dense(params["embed"], h, self._dtype) + jax.lax.dynamic_index_in_dim(
-            params["pos"], pos, axis=0, keepdims=False)
+            params["pos"], pos, axis=0, keepdims=False).astype(self._dtype)
         key_mask = (jnp.arange(self.max_len) <= pos)[None, None, :]  # [1,1,L]
         new_caches = []
         for bp, cache in zip(params["blocks"], caches):
