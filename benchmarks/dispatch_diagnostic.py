@@ -27,7 +27,12 @@ Interpretation matrix:
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +46,11 @@ from categoricalnf_tpu.utils.timing import sync
 
 
 def main():
+    import os
+    if os.environ.get("CNF_DIAG_CPU"):  # correctness smoke-run off-chip
+        jax.config.update("jax_platforms", "cpu")
     setup_jax()
-    batch_size = 1024
+    batch_size = int(os.environ.get("CNF_DIAG_BATCH", "1024"))
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
                             num_mixtures=8, compute_dtype="bfloat16")
