@@ -43,16 +43,20 @@ def peak_flops(device) -> float | None:
     return best[1] if best else None
 
 
-def step_flops(compiled) -> float | None:
-    """Analytic FLOPs of one compiled step from XLA's cost analysis."""
+def step_costs(compiled) -> tuple[float | None, float | None]:
+    """(flops, bytes accessed) of one compiled step from XLA's cost
+    analysis.  Bytes matter more than FLOPs here: the flagship step is
+    memory-traffic-bound (PERFORMANCE.md round-3 diagnostic)."""
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         f = cost.get("flops")
-        return float(f) if f and f > 0 else None
+        b = cost.get("bytes accessed")
+        return (float(f) if f and f > 0 else None,
+                float(b) if b and b > 0 else None)
     except Exception:  # noqa: BLE001 — older backends lack cost_analysis
-        return None
+        return None, None
 
 
 def main():
@@ -146,7 +150,7 @@ def main():
     # the per-step FLOP methodology identical to BENCH_r02.
     single = jax.jit(train_step).lower(
         jax.tree.map(lambda a: a, state), pool[0], rng).compile()
-    flops = step_flops(single)
+    flops, step_bytes = step_costs(single)
 
     def force(x):
         # block_until_ready() is NOT a sync barrier on the axon tunnel
@@ -184,6 +188,11 @@ def main():
     if flops is not None:
         flops_per_s = flops * n_steps / dt
         out["flops_per_step"] = round(flops, 0)
+        if step_bytes:
+            out["bytes_per_step"] = round(step_bytes, 0)
+            # memory-roofline utilization (v5e ~819 GB/s): the binding
+            # bound for this traffic-dominated step
+            out["hbm_util"] = round(step_bytes * n_steps / dt / 819e9, 4)
         out["flops_per_s"] = round(flops_per_s, 0)
         peak = peak_flops(jax.devices()[0])
         if peak:
