@@ -30,8 +30,11 @@ maybe_stop() { [ -f /tmp/campaign25_stop ] && { echo "stop-file: exiting"; exit 
 # compile/warmup).  GraphCNF is device-bound; K neither helps nor hurts.
 MOL_K=${MOL_K:-4}
 
+# grad_clip 15: the 12-layer bond stage spiked at ~9k steps (grad_norm 16,
+# loss 0.49->0.76, 7k steps of progress lost) where v6@clip100 never did;
+# post-warmup norms run 3-8 so 15 engages only on spikes.  Non-arch flag.
 MOL_ARGS=(python experiments/molecule_generation/train.py
-  --dataset zinclike250k --data_dir data --max_nodes 24
+  --dataset zinclike250k --data_dir data --max_nodes 24 --grad_clip 15
   --num_steps 100000 --eval_every 2500 --eval_samples 4 --batch_size 192
   --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8
   --num_layers_bond 12 --num_mixtures 16 --node_cond_atoms
