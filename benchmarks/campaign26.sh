@@ -160,6 +160,11 @@ fi
 maybe_stop
 run kernel_bench 1800 python benchmarks/kernel_bench.py || true
 run lm_bench 1500 python benchmarks/lm_bench.py || true
+# batch-scaling anomaly (diagnostic probe 6: B=4096 superlinearly SLOWER):
+# two more points to localize the knee
+maybe_stop
+run bench_b2048 900 env CNF_BENCH_BATCH=2048 python bench.py || true
+run bench_b512 900 env CNF_BENCH_BATCH=512 python bench.py || true
 git add RESULTS.md 2>/dev/null || true
 
 echo "campaign26 complete $(date -u +%H:%M:%S)"
