@@ -164,6 +164,10 @@ run lm_bench 1500 python benchmarks/lm_bench.py || true
 # two more points to localize the knee
 maybe_stop
 run bench_b2048 900 env CNF_BENCH_BATCH=2048 python bench.py || true
+# one-shot jax.profiler trace of the honest step (device-trace support
+# through the tunnel unknown; host-side spans still useful)
+run profile_trace 1200 python benchmarks/profile_step.py \
+  --out /tmp/cnf_profile --trace_steps 4 || true
 run bench_b512 900 env CNF_BENCH_BATCH=512 python bench.py || true
 git add RESULTS.md 2>/dev/null || true
 
