@@ -148,3 +148,32 @@ def test_beta_schedule_values():
     e = ScheduleSpec(kind="exponential", value=1e-3, decay_rate=0.5,
                      decay_steps=100).build()
     assert abs(float(e(100)) - 5e-4) < 1e-9
+
+
+def test_logged_steps_per_s_matches_wall_clock(tmp_path):
+    """The logged steps_per_s must agree with the metrics rows' own
+    time-field deltas.  Round-3 archaeology: pre-`db04cad` runs logged
+    DISPATCH rates up to 16x the wall-clock truth (runs/set16's 394-568
+    steps/s vs a sustained 35.3); the engine now forces metric reads
+    before reading the clock, and this pins that contract."""
+    import json
+    task = _tiny_task()
+    out = tmp_path / "run"
+    cfg = TrainConfig(
+        num_steps=300, eval_every=300, eval_samples=2, log_every=50,
+        out_dir=str(out),
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        beta_schedule=ScheduleSpec(kind="constant", value=1.0))
+    Trainer(task, cfg).train(resume=False)
+    rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    train = [r for r in rows if r.get("prefix") == "train"
+             and "steps_per_s" in r]
+    assert len(train) >= 4
+    # skip the first window (includes compile); compare each subsequent
+    # logged rate against the wall rate from the rows' own timestamps
+    for a, b in zip(train[1:], train[2:]):
+        wall = (b["step"] - a["step"]) / max(b["time"] - a["time"], 1e-9)
+        logged = b["steps_per_s"]
+        assert 0.5 * wall <= logged <= 2.0 * wall, (
+            f"logged {logged:.1f} vs wall {wall:.1f} steps/s — "
+            "dispatch-rate artifact is back")
