@@ -5,8 +5,8 @@
 # ckpt_stash.sh first in case ~/.cache survived for once).
 #
 # Priorities:
-#   1. lm_v6 -> 30k + IS-128 fp32 test bound (VERDICT r2 #2; at 16k the
-#      gap was 0.129 and falling)
+#   1. lm_v6 -> 45k + IS-128 fp32 test bound (VERDICT r2 #2; gap 0.112
+#      @21k and falling ~0.005/1k — the <=0.08 bar lands before 45k)
 #   2. coloring2: the one VERDICT item (#4, >=90% valid) with no round-3
 #      TPU hours yet — two chunks up front
 #   3. molecules_v7 -> 100k in chunks + n=10240 evals (VERDICT #1)
@@ -53,8 +53,10 @@ MOL_ARGS=(python experiments/molecule_generation/train.py
   --bond_cond_degree --steps_per_call 4
   --out_dir runs/molecules_v7 --log_every 1000 --resume)
 
+# 45k: the gap curve (0.163@12k, 0.129@16k, 0.112@21k, ~-0.005/1k and
+# decelerating) extrapolates to the <=0.08 VERDICT bar between 30k-45k.
 LM_ARGS=(python experiments/language_modeling/train.py
-  --corpus synthetic --num_steps 30000 --eval_every 3000 --eval_samples 8
+  --corpus synthetic --num_steps 45000 --eval_every 3000 --eval_samples 8
   --batch_size 128 --seq_len 256 --hidden_dim 512 --num_layers 4
   --encoding_dim 4 --num_mixtures 32 --lr 5e-4 --prior hmm
   --prior_states 32 --steps_per_call 1
@@ -67,7 +69,7 @@ COL_ARGS=(python experiments/graph_coloring/train.py
   --out_dir runs/coloring2 --log_every 2000 --resume)
 
 # ---- 1. lm_v6 to 30k + IS-128 --------------------------------------------
-if [ "$(steps_done lm_v6)" -lt 30000 ]; then
+if [ "$(steps_done lm_v6)" -lt 45000 ]; then
   maybe_stop
   run lm_v6_w4 3300 "${LM_ARGS[@]}"
   git add runs/lm_v6 && git commit -q -m \
