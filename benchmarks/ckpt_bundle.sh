@@ -21,6 +21,12 @@
 # The architecture-compat check stays ckpt_stash.sh's job: restore here
 # only unpacks files; the Trainer's resume guard still refuses a changed
 # architecture.
+#
+# HISTORY-COST POLICY: every stash adds its full compressed size to git
+# history forever (no LFS here; window 3 grew .git to ~2.5 GB with three
+# bundles).  Stash a given run AT MOST once per window — at the end of
+# its last completed chunk — and only when the step delta since the
+# previous bundle buys >=1 h of next-window chip time.
 set -euo pipefail
 cd "${CNF_REPO:-/root/repo}"   # override for sandboxed tests
 cmd=${1:?stash|restore}
