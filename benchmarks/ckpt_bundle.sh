@@ -53,8 +53,12 @@ case "$cmd" in
     du -h "$bundle"
     if [ -z "${CNF_BUNDLE_NO_GIT:-}" ]; then
       git add "$bundle"
+      # Pathspec-scoped commit: campaign scripts stash while the tree is
+      # dirty, so an unscoped commit would sweep staged unrelated changes
+      # into the persist commit (ADVICE r3).
       git commit -q -m \
         "persist: $run resume bundle ($(basename "${last:-$best}"))" \
+        -- "$bundle" \
         || echo "bundle unchanged"
     fi
     ;;
@@ -63,7 +67,10 @@ case "$cmd" in
     if [ -n "$(newest_step "runs/$run/checkpoints_last")$(newest_step "runs/$run/checkpoints")" ]; then
       echo "$run already has checkpoints; not overwriting"; exit 0
     fi
-    tar -xzf "$bundle"
+    # --skip-old-files: the step-dir guard above only covers checkpoints;
+    # the tarball also carries runs/<run>/config.json, which must not
+    # clobber a freshly re-configured run (ADVICE r3).
+    tar -xzf "$bundle" --skip-old-files
     echo "restored $run from $bundle:"
     find "runs/$run" -maxdepth 2 -name 'step_*' -type d | sort
     ;;
