@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
+# Peak dense bf16 FLOP/s and HBM bandwidth (B/s) per chip by device kind
+# (public spec sheets).  Both looked up the same way so hbm_util can never
+# silently use the wrong chip's bandwidth (ADVICE r3).
 _PEAK_BF16 = {
     "TPU v4": 275e12,
     "TPU v5": 459e12,          # v5p
@@ -30,17 +32,33 @@ _PEAK_BF16 = {
     "TPU v6 lite": 918e12,     # v6e / Trillium
     "TPU v6e": 918e12,
 }
+_PEAK_HBM = {
+    "TPU v4": 1228e9,
+    "TPU v5": 2765e9,          # v5p
+    "TPU v5 lite": 819e9,      # v5e
+    "TPU v5e": 819e9,
+    "TPU v6 lite": 1640e9,     # v6e / Trillium
+    "TPU v6e": 1640e9,
+}
 
 
-def peak_flops(device) -> float | None:
+def _lookup(table, device) -> float | None:
     kind = getattr(device, "device_kind", "")
     # Longest prefix wins: "TPU v5 lite" (v5e, 197T) must match before
     # "TPU v5" (v5p, 459T) — same ordering rule as SMILES' Cl-before-C.
     best = None
-    for k, v in _PEAK_BF16.items():
+    for k, v in table.items():
         if kind.startswith(k) and (best is None or len(k) > best[0]):
             best = (len(k), v)
     return best[1] if best else None
+
+
+def peak_flops(device) -> float | None:
+    return _lookup(_PEAK_BF16, device)
+
+
+def peak_hbm(device) -> float | None:
+    return _lookup(_PEAK_HBM, device)
 
 
 def step_costs(compiled) -> tuple[float | None, float | None]:
@@ -90,9 +108,12 @@ def main():
             jax.config.update("jax_platforms", "cpu")
 
     batch_size = int(os.environ.get("CNF_BENCH_BATCH", "1024"))
+    remat = os.environ.get("CNF_BENCH_REMAT", "") not in ("", "0")
+    fused = os.environ.get("CNF_BENCH_FUSED", "") not in ("", "0")
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
-                            num_mixtures=8, compute_dtype="bfloat16")
+                            num_mixtures=8, compute_dtype="bfloat16",
+                            remat=remat, fused=fused)
     rng = jax.random.PRNGKey(0)
     params = task.init_params(rng)
     tx = OptimizerConfig().build()
@@ -102,18 +123,23 @@ def main():
     gen = task.train_batches(np.random.default_rng(0))
     pool = [{"x": jnp.asarray(next(gen)["x"])} for _ in range(8)]
 
-    def train_step(state, batch, rng):
-        # per-step rng folds on state.step (same scheme as the Trainer)
-        step_rng = jax.random.fold_in(rng, state.step)
+    def make_train_step(t):
+        def train_step(state, batch, rng):
+            # per-step rng folds on state.step (same scheme as the Trainer)
+            step_rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(p):
-            return task.loss(p, batch, step_rng, 1.0)
+            def loss_fn(p):
+                return t.loss(p, batch, step_rng, 1.0)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=new_params,
-                          opt_state=opt_state), loss
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=new_params,
+                              opt_state=opt_state), loss
+        return train_step
+
+    train_step = make_train_step(task)
 
     # Multi-step dispatch (engine steps_per_call): K steps per device call
     # as a lax.scan over a [K, B, ...] stack — the product's fast path.
@@ -148,9 +174,20 @@ def main():
     # scan body ONCE regardless of trip count, so the K-step call reports
     # the same figure as one step.  Using the single-step program keeps
     # the per-step FLOP methodology identical to BENCH_r02.
-    single = jax.jit(train_step).lower(
+    # Cost analysis cannot see inside Pallas kernels, so when the fused
+    # coupling-net path is on, analytic FLOPs come from the XLA-equivalent
+    # (fused=False) program — same math, countable — and bytes/hbm_util
+    # are omitted (they no longer describe the executed program).
+    if fused:
+        import dataclasses as _dc
+        cost_step = make_train_step(_dc.replace(task, fused=False))
+    else:
+        cost_step = train_step
+    single = jax.jit(cost_step).lower(
         jax.tree.map(lambda a: a, state), pool[0], rng).compile()
     flops, step_bytes = step_costs(single)
+    if fused:
+        step_bytes = None
 
     def force(x):
         # block_until_ready() is NOT a sync barrier on the axon tunnel
@@ -184,17 +221,29 @@ def main():
         "unit": "samples/s",
         "vs_baseline": None,
         "device": getattr(dev, "device_kind", None) or dev.platform,
+        "batch_size": batch_size,
+        "remat": remat,
+        "fused": fused,
     }
+    # Bytes reporting is independent of FLOPs availability (ADVICE r3).
+    # Methodology caveat: flops/bytes come from the SINGLE-step compile's
+    # cost analysis; the timed loop runs the K-scan program, whose fused
+    # per-step HBM traffic can differ slightly (fusion across the scan
+    # boundary).  Kept single-step so the figure is comparable across
+    # rounds (BENCH_r02 onward).
+    out["cost_methodology"] = "single-step compile; timed loop is K-scan"
+    if step_bytes:
+        out["bytes_per_step"] = round(step_bytes, 0)
+        hbm = peak_hbm(dev)
+        if hbm:
+            # memory-roofline utilization: the binding bound for this
+            # traffic-dominated step
+            out["hbm_util"] = round(step_bytes * n_steps / dt / hbm, 4)
     if flops is not None:
         flops_per_s = flops * n_steps / dt
         out["flops_per_step"] = round(flops, 0)
-        if step_bytes:
-            out["bytes_per_step"] = round(step_bytes, 0)
-            # memory-roofline utilization (v5e ~819 GB/s): the binding
-            # bound for this traffic-dominated step
-            out["hbm_util"] = round(step_bytes * n_steps / dt / 819e9, 4)
         out["flops_per_s"] = round(flops_per_s, 0)
-        peak = peak_flops(jax.devices()[0])
+        peak = peak_flops(dev)
         if peak:
             out["mfu"] = round(flops_per_s / peak, 4)
             out["peak_bf16_flops"] = peak

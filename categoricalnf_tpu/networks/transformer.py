@@ -27,6 +27,13 @@ class SetTransformer:
     num_layers: int = 2
     mlp_ratio: int = 2
     compute_dtype: str = "bfloat16"
+    # fused=True routes the whole net (embed -> blocks -> out) through one
+    # Pallas kernel per direction (ops/pallas/fused_transformer.py): the
+    # XLA path materializes ~20 intermediate [B,S,H] tensors in HBM per
+    # coupling layer, which dominates the memory-bound flagship step.
+    # Falls back to the XLA path whenever cond/mask are present or the
+    # batch doesn't tile.
+    fused: bool = False
 
     @property
     def _dtype(self):
@@ -71,6 +78,15 @@ class SetTransformer:
         return dense(bp["proj"], out, self._dtype)
 
     def apply(self, params, x, cond=None, mask=None):
+        if self.fused:
+            from categoricalnf_tpu.ops.pallas import fused_transformer as ft
+            if ft.supported(x, cond, mask, self.hidden_dim, self.num_heads):
+                return ft.fused_set_transformer(
+                    params, x, hidden_dim=self.hidden_dim,
+                    num_heads=self.num_heads, num_layers=self.num_layers,
+                    mlp_ratio=self.mlp_ratio,
+                    compute_dtype=self.compute_dtype,
+                    out_dim=params["out"]["w"].shape[-1])
         h = dense(params["embed"], concat_cond(x, cond), self._dtype)
         for bp in params["blocks"]:
             h = h + self._attention(bp, h, mask)

@@ -31,7 +31,9 @@ from categoricalnf_tpu.training.task import TaskTemplate
 def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
                    num_heads: int = 4, num_mixtures: int = 8,
                    compute_dtype: str = "float32",
-                   scan_blocks: bool = True) -> flows.FlowModel:
+                   scan_blocks: bool = True,
+                   remat: bool = False,
+                   fused: bool = False) -> flows.FlowModel:
     """Coupling stack with permutation-equivariant transformer nets.
 
     With ``scan_blocks`` the repeated two-parity block runs under
@@ -39,7 +41,8 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
     semantics.
     """
     net = networks.SetTransformer(hidden_dim=hidden_dim, num_heads=num_heads,
-                                  num_layers=2, compute_dtype=compute_dtype)
+                                  num_layers=2, compute_dtype=compute_dtype,
+                                  fused=fused)
 
     def sub(parity):
         return (flows.ActNorm(), flows.InvertibleLinear(),
@@ -51,7 +54,8 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
     if scan_blocks and num_layers % 2 == 0 and num_layers >= 4:
         block = sub(0) + sub(1)
         return flows.FlowModel(
-            layers=(flows.ScannedBlocks(block=block, depth=num_layers // 2),),
+            layers=(flows.ScannedBlocks(block=block, depth=num_layers // 2,
+                                        remat=remat),),
             prior=flows.LogisticPrior())
     layers = []
     for i in range(num_layers):
@@ -92,6 +96,14 @@ class SetShufflingTask(TaskTemplate):
     vardeq_blocks: int = 2
     vardeq_hidden: int = 64
     vardeq_mixtures: int = 4
+    # remat trades HBM activation traffic for recompute FLOPs — the right
+    # direction for this memory-bound step (PERFORMANCE.md roofline);
+    # exposed for the bench's lever probe (CNF_BENCH_REMAT).
+    remat: bool = False
+    # fused routes the coupling nets through the whole-network Pallas
+    # kernel (ops/pallas/fused_transformer.py) — one HBM read + write per
+    # net instead of ~20 intermediate round-trips.
+    fused: bool = False
     name: str = "set_shuffling"
 
     def __post_init__(self):
@@ -103,7 +115,8 @@ class SetShufflingTask(TaskTemplate):
             encoding=enc,
             flow=build_set_flow(enc.dim, self.num_layers, self.hidden_dim,
                                 num_mixtures=self.num_mixtures,
-                                compute_dtype=self.compute_dtype))
+                                compute_dtype=self.compute_dtype,
+                                remat=self.remat, fused=self.fused))
 
     def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
         out = native_loader.gen_permutations(
