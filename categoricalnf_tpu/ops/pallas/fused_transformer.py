@@ -70,11 +70,29 @@ class FusedCfg(NamedTuple):
 #  10 out_w  [H, OUT]     11 out_b  [1, OUT]
 NUM_W = 12
 
-# Row-tile sizes (rows = flattened B*S).  Forward keeps few live tensors;
-# backward holds the tile's vjp residuals (incl. [rows, rows] attention
-# maps) in VMEM, so it tiles smaller.
-FWD_TILE_ROWS = 512
-BWD_TILE_ROWS = 256
+# Row-tile sizes (rows = flattened B*S).  The block-diagonal attention's
+# overcompute is FREE on the MXU but its softmax runs on the VPU over the
+# full [tile, tile] logits — exp/max/sum cost scales LINEARLY with tile
+# size (measured: tile 512 made the fused step slower than XLA despite
+# ~30x less HBM traffic).  Small tiles shrink the quadratic waste; grid
+# steps are a hardware loop with resident weights, so many-step grids are
+# cheap.  Env-tunable for on-chip probing.
+import os as _os
+
+FWD_TILE_ROWS = int(_os.environ.get("CNF_FT_TILE_FWD", "128"))
+BWD_TILE_ROWS = int(_os.environ.get("CNF_FT_TILE_BWD", "128"))
+
+# Attention inner implementation (semantics identical, perf differs):
+#   blockdiag — full [n,n] softmax with -1e9 bias: simplest, but VPU exp
+#               cost scales with the tile (measured slow at tile 512)
+#   extract   — [n,n] logits on the MXU, softmax only on the TB extracted
+#               [S,S] diagonal blocks, scatter back into zeros: VPU cost
+#               at per-sample parity, quadratic work stays on the MXU
+#   bcast     — per-head [TB,S,S,hd] broadcast-multiply-reduce on the
+#               VPU: zero overcompute, but its 4-D ops CRASH Mosaic's
+#               layout inference (compile-helper 500) — interpret/CPU
+#               mirror only, kept as documentation of the attempt
+ATTN_IMPL = _os.environ.get("CNF_FT_ATTN", "extract")
 
 
 def flatten_params(params, num_layers: int):
@@ -114,7 +132,8 @@ def _net_forward(x2, ws, cfg: FusedCfg):
     n = x2.shape[0]
     H, nh = cfg.hidden_dim, cfg.num_heads
     hd = H // nh
-    attn_bias = _block_diag_bias(n, cfg.set_size)
+    attn_bias = (_block_diag_bias(n, cfg.set_size)
+                 if ATTN_IMPL == "blockdiag" else None)
 
     def dense2d(h2, w, b):
         # networks.common.dense: bf16 MXU compute, fp32 accumulate + bias,
@@ -138,24 +157,64 @@ def _net_forward(x2, ws, cfg: FusedCfg):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    s = cfg.set_size
+    tb = n // s
+
+    def attn_blockdiag(qh, kh, vh):
+        logits = matmul_f32acc(qh, kh) / jnp.sqrt(jnp.float32(hd))
+        attn = jax.nn.softmax(logits + attn_bias, axis=-1)
+        # XLA path casts attn to the compute dtype before the AV matmul;
+        # off-block weights are exactly 0.0 so the extra fp32-accumulated
+        # products are exact no-ops.
+        return jax.lax.dot_general(
+            attn.astype(cd), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def attn_extract(qh, kh, vh):
+        # One quadratic QK^T matmul on the idle MXU, then per-sample
+        # STATIC diagonal-block extraction (Mosaic has no dynamic_slice):
+        # softmax and the [S,S]x[S,hd] AV matmul run per block, so VPU
+        # transcendental cost stays at per-sample parity and no [n,n]
+        # attention matrix is ever rebuilt.
+        logits = matmul_f32acc(qh, kh) / jnp.sqrt(jnp.float32(hd))
+        outs = []
+        for b in range(tb):
+            blk = logits[b * s:(b + 1) * s, b * s:(b + 1) * s]
+            attn = jax.nn.softmax(blk, axis=-1).astype(cd)
+            outs.append(jax.lax.dot_general(
+                attn, vh[b * s:(b + 1) * s, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=0)
+
+    def attn_bcast(qh, kh, vh):
+        # Zero overcompute: per-sample attention via broadcast-multiply-
+        # reduce (fp32 products of bf16 operands are exact, matching the
+        # MXU convention up to summation order).
+        q3 = qh.reshape(tb, s, hd).astype(jnp.float32)
+        k3 = kh.reshape(tb, s, hd).astype(jnp.float32)
+        v3 = vh.reshape(tb, s, hd).astype(jnp.float32)
+        logits = jnp.sum(q3[:, :, None, :] * k3[:, None, :, :], axis=-1)
+        logits = logits / jnp.sqrt(jnp.float32(hd))
+        attn = jax.nn.softmax(logits, axis=-1).astype(cd).astype(
+            jnp.float32)
+        out3 = jnp.sum(attn[:, :, :, None] * v3[:, None, :, :], axis=2)
+        return out3.reshape(n, hd)
+
+    attn_fn = {"blockdiag": attn_blockdiag, "extract": attn_extract,
+               "bcast": attn_bcast}[ATTN_IMPL]
+
     h = dense2d(x2, embed_w, embed_b)                      # [n, H]
     for l in range(cfg.num_layers):
-        # --- attention (mask=None; block-diagonal over samples) --------
+        # --- attention (mask=None; per-sample over the row tile) --------
         qkv = dense2d(ln2d(h), qkv_w[l], qkv_b[l])         # [n, 3H]
         head_outs = []
         for hh in range(nh):
             qh = qkv[:, hh * hd:(hh + 1) * hd]
             kh = qkv[:, H + hh * hd:H + (hh + 1) * hd]
             vh = qkv[:, 2 * H + hh * hd:2 * H + (hh + 1) * hd]
-            logits = matmul_f32acc(qh, kh) / jnp.sqrt(jnp.float32(hd))
-            attn = jax.nn.softmax(logits + attn_bias, axis=-1)
-            # XLA path casts attn to the compute dtype before the AV
-            # matmul; off-block weights are exactly 0.0 so the extra
-            # fp32-accumulated products are exact no-ops.
-            head_outs.append(jax.lax.dot_general(
-                attn.astype(cd), vh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+            head_outs.append(attn_fn(qh, kh, vh))
         aout = jnp.concatenate(head_outs, axis=-1)         # [n, H] f32
         h = h + dense2d(aout, proj_w[l], proj_b[l])
         # --- MLP --------------------------------------------------------

@@ -52,14 +52,25 @@ def _mirror(net, params, x):
     return y2.reshape(B, S, -1)
 
 
-def test_math_mirror_bf16():
-    """Layer 1 (bf16): fp32 summation-order noise can flip single bf16
-    roundings (measured max: 1 ulp, 0.0078 at unit scale; bit-exact on a
-    single-device CPU, +/-1 ulp under the 8-virtual-device flags)."""
+@pytest.mark.parametrize("impl", ["blockdiag", "extract", "bcast"])
+def test_math_mirror_bf16(impl, monkeypatch):
+    """Layer 1 (bf16): all attention variants are semantically the same
+    computation; fp32 summation-order noise can flip single bf16
+    roundings (measured max: 1 ulp, 0.0078 at unit scale)."""
+    monkeypatch.setattr(ft, "ATTN_IMPL", impl)
     net, params, x = _make("bfloat16")
     y_ref = np.asarray(net.apply(params, x).astype(jnp.float32))
     y_mir = np.asarray(_mirror(net, params, x).astype(jnp.float32))
     np.testing.assert_allclose(y_mir, y_ref, rtol=0.02, atol=0.02)
+
+
+@pytest.mark.parametrize("impl", ["extract", "bcast"])
+def test_math_mirror_fp32_variants(impl, monkeypatch):
+    monkeypatch.setattr(ft, "ATTN_IMPL", impl)
+    net, params, x = _make("float32")
+    y_ref = np.asarray(net.apply(params, x))
+    y_mir = np.asarray(_mirror(net, params, x))
+    np.testing.assert_allclose(y_mir, y_ref, rtol=1e-4, atol=1e-5)
 
 
 def test_math_mirror_fp32():
