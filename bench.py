@@ -108,7 +108,10 @@ def main():
             jax.config.update("jax_platforms", "cpu")
 
     batch_size = int(os.environ.get("CNF_BENCH_BATCH", "1024"))
-    remat = os.environ.get("CNF_BENCH_REMAT", "") not in ("", "0")
+    # remat defaults ON: +19.3% measured on the memory-bound step
+    # (PERFORMANCE.md round-4 lever table), gradient-equivalence-tested,
+    # and exposed as a product config (--remat on the experiment CLI).
+    remat = os.environ.get("CNF_BENCH_REMAT", "1") not in ("", "0")
     fused = os.environ.get("CNF_BENCH_FUSED", "") not in ("", "0")
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
