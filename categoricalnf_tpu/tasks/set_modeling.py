@@ -104,6 +104,10 @@ class SetShufflingTask(TaskTemplate):
     # kernel (ops/pallas/fused_transformer.py) — one HBM read + write per
     # net instead of ~20 intermediate round-trips.
     fused: bool = False
+    # scan_blocks=False unrolls the coupling stack instead of lax.scan
+    # (N x compile work, but scan carries/saved-state layout differs —
+    # exposed for the perf probes).
+    scan_blocks: bool = True
     name: str = "set_shuffling"
 
     def __post_init__(self):
@@ -116,7 +120,8 @@ class SetShufflingTask(TaskTemplate):
             flow=build_set_flow(enc.dim, self.num_layers, self.hidden_dim,
                                 num_mixtures=self.num_mixtures,
                                 compute_dtype=self.compute_dtype,
-                                remat=self.remat, fused=self.fused))
+                                remat=self.remat, fused=self.fused,
+                                scan_blocks=self.scan_blocks))
 
     def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
         out = native_loader.gen_permutations(
