@@ -29,4 +29,11 @@ probe fused_noscan CNF_BENCH_REMAT=0 CNF_BENCH_FUSED=1 CNF_BENCH_SCAN=0
 # batch scaling on the remat winner
 probe remat_b2048 CNF_BENCH_REMAT=1 CNF_BENCH_BATCH=2048
 
+# kernel-level: mixture inverse re-measurement (r2 ratios voided by the
+# no-op-barrier discovery) + the fused coupling-net microbench
+echo "=== kernel_bench start $(date -u +%H:%M:%S) ==="
+timeout -k 120 2400 python benchmarks/kernel_bench.py > "$LOG/kernel_bench.log" 2>&1
+echo "=== kernel_bench done (exit $?) ==="
+tail -12 "$LOG/kernel_bench.log"
+
 echo "campaign28 complete $(date -u +%H:%M:%S)"

@@ -70,5 +70,33 @@ def main():
         print(f"  inverse max err vs truth: {err:.2e}")
 
 
+def bench_fused_net():
+    """Fused whole-SetTransformer kernel vs the XLA path, isolated from
+    the rest of the train step (fwd and fwd+bwd at the flagship shape)."""
+    from categoricalnf_tpu.networks.transformer import SetTransformer
+    B, S, IN, OUT, H = 1024, 16, 4, 104, 96
+    rng = jax.random.PRNGKey(0)
+    nets = {
+        "xla": SetTransformer(hidden_dim=H, num_heads=4, num_layers=2,
+                              compute_dtype="bfloat16"),
+        "fused": SetTransformer(hidden_dim=H, num_heads=4, num_layers=2,
+                                compute_dtype="bfloat16", fused=True),
+    }
+    params = nets["xla"].init(rng, IN, OUT)
+    xs = [jax.random.normal(k, (B, S, IN))
+          for k in jax.random.split(rng, 8)]
+    print(f"fused coupling-net kernel (B={B}, S={S}, H={H}, out={OUT}):")
+    for name, net in nets.items():
+        fwd = jax.jit(lambda x, n=net: n.apply(params, x))
+        grad = jax.jit(jax.grad(
+            lambda x, n=net: jnp.sum(n.apply(params, x)
+                                     .astype(jnp.float32))))
+        t_f = timeit(fwd, xs)
+        t_g = timeit(grad, xs)
+        print(f"  {name:5s}  fwd {t_f*1e3:7.3f} ms   fwd+bwd(x) "
+              f"{t_g*1e3:7.3f} ms")
+
+
 if __name__ == "__main__":
     main()
+    bench_fused_net()
