@@ -1,0 +1,127 @@
+#!/bin/bash
+# Round-5 takeover queue (replaces campaign30's tail after its coloring3 +
+# moses chunks; the campaign30 driver shell was stopped by PID, its last
+# moses chunk keeps running and stage 0 here waits for it).
+#
+# Judge's round-4 priority order (VERDICT.md "Next round"):
+#   1+2. moses -> 30k + n=10,240 eval + IS-128 fp32  (BASELINE row 8)
+#   1.   molecules_v7 95k -> 130k, fine T grid, final n=10,240 (>=75% bar)
+#   7.   IS-128 fp32 posthoc bounds for molecules/moses/coloring
+#   6.   coloring corrected decoding + validity@k rows (new code this round)
+#   3a.  kernel_bench honest re-measurement
+set -u
+cd /root/repo
+LOG=/tmp/campaign31
+mkdir -p "$LOG"
+WAIT_PID=${1:-}
+
+run() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name: timeout $tmo start $(date -u +%H:%M:%S) ==="
+  timeout -k 600 "$tmo" "$@" > "$LOG/${name}.log" 2>&1
+  echo "=== $name done (exit $?) $(date -u +%H:%M:%S) ==="
+  tail -3 "$LOG/${name}.log"
+}
+steps_done() {
+  find "runs/$1" -maxdepth 2 -name 'step_*' -type d 2>/dev/null \
+    | grep -E 'step_[0-9]{8}$' | sed 's/.*step_//' | sort | tail -1 \
+    | sed 's/^0*//' | grep . || echo 0
+}
+commit_run() {  # retry: the build session also commits concurrently
+  for i in 1 2 3; do
+    git add "runs/$1" 2>/dev/null && \
+      git commit -q -m "$2" -- "runs/$1" 2>/dev/null && return 0
+    sleep 7
+  done
+  echo "commit_run $1 failed (non-fatal)"
+}
+maybe_stop() { [ -f /tmp/campaign31_stop ] && { echo "stop-file: exiting"; exit 0; } || true; }
+
+# ---- Stage 0: wait out the inherited moses chunk -------------------------
+if [ -n "$WAIT_PID" ]; then
+  echo "waiting on inherited pid $WAIT_PID ..."
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
+echo "inherited chunk done; moses at $(steps_done moses) steps $(date -u +%H:%M:%S)"
+commit_run moses "moses r5b: metrics ($(steps_done moses) steps)"
+
+# ---- moses to 30k --------------------------------------------------------
+MOSES_ARGS=(python experiments/molecule_generation/train.py
+  --dataset moseslike50k --data_dir data --max_nodes 24 --grad_clip 15
+  --num_steps 30000 --eval_every 2500 --eval_samples 4 --batch_size 192
+  --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8
+  --num_layers_bond 12 --num_mixtures 16 --node_cond_atoms
+  --bond_cond_degree --steps_per_call 4
+  --out_dir runs/moses --log_every 1000 --resume)
+i=0
+while [ "$(steps_done moses)" -lt 30000 ] && [ $i -lt 3 ]; do
+  i=$((i+1)); maybe_stop
+  run "moses_r5c$i" 3600 "${MOSES_ARGS[@]}"
+  commit_run moses "moses r5 chunk c$i: metrics ($(steps_done moses) steps)"
+done
+
+# ---- moses: 10k eval + IS-128 fp32 ---------------------------------------
+maybe_stop
+run moses_eval10k 4500 python experiments/sample_eval.py --run runs/moses \
+  --num_samples 10240 --temperatures "1.0,0.85:0.85:0.6,0.85:0.85:0.4"
+commit_run moses "moses: 10k-sample eval @$(steps_done moses)"
+run moses_is128 2700 python experiments/eval_bpd.py --run runs/moses \
+  --split test --num_samples 128 --compute_dtype float32
+commit_run moses "moses: IS-128 fp32 test bound @$(steps_done moses)"
+bash benchmarks/ckpt_bundle.sh stash moses 2>/dev/null || true
+
+# ---- molecules_v7: 95k -> 130k (single long chunk; resumes pay ~10-40 min
+# of compile, so one chunk beats three) ------------------------------------
+maybe_stop
+MOL_ARGS=(python experiments/molecule_generation/train.py
+  --dataset zinclike250k --data_dir data --max_nodes 24 --grad_clip 15
+  --num_steps 130000 --eval_every 2500 --eval_samples 4 --batch_size 192
+  --hidden_dim 256 --num_layers_node 6 --num_layers_edge 8
+  --num_layers_bond 12 --num_mixtures 16 --node_cond_atoms
+  --bond_cond_degree --steps_per_call 4
+  --out_dir runs/molecules_v7 --log_every 1000 --resume)
+run mol_v7_r5 9600 "${MOL_ARGS[@]}"
+commit_run molecules_v7 "molecules_v7 r5: metrics ($(steps_done molecules_v7) steps)"
+
+# ---- molecules_v7: fine T grid (n=1024, minutes/arm), then final 10k -----
+maybe_stop
+run mol_v7_tgrid 3000 python experiments/sample_eval.py \
+  --run runs/molecules_v7 --num_samples 1024 --temperatures \
+  "0.85:0.85:0.4,0.85:0.85:0.35,0.85:0.85:0.45,0.8:0.85:0.4,0.9:0.85:0.4,0.8:0.8:0.4"
+commit_run molecules_v7 "molecules_v7: fine bond-T grid @$(steps_done molecules_v7) (n=1024)"
+BEST=$(python benchmarks/pick_best_temp.py runs/molecules_v7 2>/dev/null || echo "0.85:0.85:0.4")
+echo "best T arm: $BEST"
+run mol_v7_final10k 4200 python experiments/sample_eval.py \
+  --run runs/molecules_v7 --num_samples 10240 --temperatures "$BEST,1.0"
+commit_run molecules_v7 "molecules_v7: FINAL 10k-sample eval @$(steps_done molecules_v7) (T=$BEST)"
+run mol_v7_is128 2700 python experiments/eval_bpd.py --run runs/molecules_v7 \
+  --split test --num_samples 128 --compute_dtype float32
+commit_run molecules_v7 "molecules_v7: IS-128 fp32 test bound @$(steps_done molecules_v7)"
+bash benchmarks/ckpt_bundle.sh stash molecules_v7 2>/dev/null || true
+
+# ---- coloring: corrected + validity@8 rows (new decode-side code) --------
+maybe_stop
+run coloring3_corrected 2400 python experiments/sample_eval.py \
+  --run runs/coloring3 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
+commit_run coloring3 "coloring3: corrected + validity@8 eval @$(steps_done coloring3)"
+run coloring2_corrected 2400 python experiments/sample_eval.py \
+  --run runs/coloring2 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
+commit_run coloring2 "coloring2: corrected + validity@8 eval @$(steps_done coloring2)"
+
+# ---- coloring IS-128 fp32 bounds (same discipline as LM) -----------------
+maybe_stop
+run coloring3_is128 2400 python experiments/eval_bpd.py --run runs/coloring3 \
+  --split test --num_samples 128 --compute_dtype float32
+commit_run coloring3 "coloring3: IS-128 fp32 test bound"
+run coloring2_is128 2400 python experiments/eval_bpd.py --run runs/coloring2 \
+  --split test --num_samples 128 --compute_dtype float32
+commit_run coloring2 "coloring2: IS-128 fp32 test bound"
+
+# ---- honest kernel re-measurement ----------------------------------------
+maybe_stop
+echo "=== kernel_bench start $(date -u +%H:%M:%S) ==="
+timeout -k 120 2400 python benchmarks/kernel_bench.py > "$LOG/kernel_bench.log" 2>&1
+echo "=== kernel_bench done (exit $?) ==="
+tail -12 "$LOG/kernel_bench.log"
+
+echo "campaign31 complete $(date -u +%H:%M:%S)"

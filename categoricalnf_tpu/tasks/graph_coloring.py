@@ -51,6 +51,40 @@ def coloring_validity(adj: np.ndarray, colors: np.ndarray,
     return viol == 0
 
 
+def repair_coloring(adj: np.ndarray, probs: np.ndarray, colors: np.ndarray,
+                    mask: np.ndarray) -> np.ndarray:
+    """Constraint-aware greedy repair of sampled colorings.
+
+    The coloring analog of the molecule task's valency correction
+    (SURVEY.md C26): a post-hoc decode-side fix that never touches the
+    trained flow.  Nodes are visited in index order; a node whose argmax
+    color conflicts with an already-visited neighbor is reassigned to its
+    highest-posterior non-conflicting color (posterior = the mixture
+    encoding's exact p(x|z)).  With 3 colors a node whose earlier
+    neighbors use all colors stays in conflict, so the corrected rate is
+    an honest greedy number, not 100% by construction.
+    """
+    out = colors.copy()
+    B, N = colors.shape
+    order_all = np.argsort(-probs, axis=-1)           # [B, N, K]
+    for b in range(B):
+        nbr = adj[b] > 0
+        live = mask[b] > 0
+        for i in range(N):
+            if not live[i]:
+                continue
+            earlier = nbr[i, :i] & live[:i]
+            if not earlier.any():
+                continue
+            used = set(out[b, :i][earlier].tolist())
+            if out[b, i] in used:
+                for c in order_all[b, i]:
+                    if int(c) not in used:
+                        out[b, i] = c
+                        break
+    return out
+
+
 def build_coloring_flow(dim: int, num_layers: int = 6, hidden_dim: int = 96,
                         num_mixtures: int = 8,
                         compute_dtype: str = "float32",
@@ -126,34 +160,81 @@ class GraphColoringTask(TaskTemplate):
 
     def sample_metrics(self, params, rng: jax.Array,
                        num_samples: int | None = None,
-                       temperature: float = 1.0) -> dict:
+                       temperature: float = 1.0,
+                       best_of_k: int = 1) -> dict:
         """Validity rate of sampled colorings on >=1k fresh graphs
-        (batched jitted sampling loop; VERDICT r1 #6)."""
+        (batched jitted sampling loop; VERDICT r1 #6).
+
+        Three columns per eval (raw stays the headline, exactly the
+        molecule task's convention):
+          * ``coloring_validity`` — raw argmax decode, unchanged;
+          * ``coloring_validity_corrected`` — greedy constraint-aware
+            repair of the SAME samples (``repair_coloring``);
+          * ``coloring_validity_at_k`` — best-of-k: a graph counts valid
+            if any of ``best_of_k`` independent raw samples is valid
+            (only reported when best_of_k > 1; sampling-side only).
+        """
         num_samples = num_samples or self.metric_samples
         # temperature as a TRACED scalar: one compile serves all sweep
         # temperatures (sample_eval CLI) instead of 5-10 min recompiles.
-        sample_fn = jax.jit(lambda p, k, adj, mask, t: self.model.sample(
-            p, k, batch=self.batch_size, num_pos=self.max_nodes,
-            cond={"adj": adj}, mask=mask, temperature=t))
+        # Returns the latents' posterior too so the repair pass can rank
+        # fallback colors by the encoding's exact p(x|z).
+        def _sample(p, k, adj, mask, t):
+            k_prior, _ = jax.random.split(k)  # match CategoricalFlow.sample
+            z = self.model.flow.sample(
+                p["flow"], k_prior,
+                (self.batch_size, self.max_nodes, self.model.encoding.dim),
+                cond={"adj": adj}, mask=mask, temperature=t)
+            x = self.model.encoding.decode(p["encoding"], z, mask=mask)
+            return x, self.model.encoding.posterior(p["encoding"], z)
+        sample_fn = jax.jit(_sample)
         np_rng = np.random.default_rng(123)
-        valids = []
+        valids, valids_corr, valids_at_k = [], [], []
         done, i = 0, 0
         while done < num_samples:
             b = min(self.batch_size, num_samples - done)
             batch = self._gen(np_rng, self.batch_size)
-            x = sample_fn(params, jax.random.fold_in(rng, i),
-                          jnp.asarray(batch["cond"]["adj"]),
-                          jnp.asarray(batch["mask"]),
-                          jnp.float32(temperature))
-            valid = coloring_validity(batch["cond"]["adj"], np.asarray(x),
+            adj_d = jnp.asarray(batch["cond"]["adj"])
+            mask_d = jnp.asarray(batch["mask"])
+            x, post = sample_fn(params, jax.random.fold_in(rng, i),
+                                adj_d, mask_d, jnp.float32(temperature))
+            x = np.asarray(x)
+            valid = coloring_validity(batch["cond"]["adj"], x,
                                       batch["mask"])
+            fixed = repair_coloring(batch["cond"]["adj"], np.asarray(post),
+                                    x, batch["mask"])
+            valid_corr = coloring_validity(batch["cond"]["adj"], fixed,
+                                           batch["mask"])
             valids.append(valid[:b])
+            valids_corr.append(valid_corr[:b])
+            if best_of_k > 1:
+                any_valid = valid.copy()
+                for j in range(1, best_of_k):
+                    xj, _ = sample_fn(
+                        params,
+                        jax.random.fold_in(jax.random.fold_in(rng, i),
+                                           1000 + j),
+                        adj_d, mask_d, jnp.float32(temperature))
+                    any_valid |= coloring_validity(
+                        batch["cond"]["adj"], np.asarray(xj), batch["mask"])
+                valids_at_k.append(any_valid[:b])
             done += b
             i += 1
-        valid = np.concatenate(valids)
-        p = float(valid.mean())
-        n = float(len(valid))
-        return {"coloring_validity": p,
-                "coloring_validity_ci95": float(
-                    1.96 * np.sqrt(max(p * (1 - p), 0.0) / n)),
-                "metric_num_samples": n}
+
+        def rate(chunks):
+            v = np.concatenate(chunks)
+            p = float(v.mean())
+            return p, float(1.96 * np.sqrt(max(p * (1 - p), 0.0) / len(v)))
+        p, ci = rate(valids)
+        pc, cic = rate(valids_corr)
+        out = {"coloring_validity": p,
+               "coloring_validity_ci95": ci,
+               "coloring_validity_corrected": pc,
+               "coloring_validity_corrected_ci95": cic,
+               "metric_num_samples": float(done)}
+        if best_of_k > 1:
+            pk, cik = rate(valids_at_k)
+            out["coloring_validity_at_k"] = pk
+            out["coloring_validity_at_k_ci95"] = cik
+            out["best_of_k"] = float(best_of_k)
+        return out

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--temperatures", type=str, default="0.7,0.85,1.0")
     ap.add_argument("--num_samples", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--best_of_k", type=int, default=1,
+                    help="validity@k: count a graph valid if any of k "
+                         "independent samples is (tasks that support it)")
     args = ap.parse_args()
 
     handle = load_run(args.run)
@@ -48,6 +51,8 @@ def main():
     extra = {}
     if "num_samples" in sig:
         extra["num_samples"] = args.num_samples
+    if args.best_of_k > 1 and "best_of_k" in sig:
+        extra["best_of_k"] = args.best_of_k
     # A token is either a scalar "0.85" or a per-stage "t_node:t_exist:
     # t_bond" triple (GraphCNF stage temperatures; models/graphcnf.py
     # sample()).  Per-stage tokens require task support.
@@ -78,10 +83,19 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # Write both the canonical latest file AND a step/size-suffixed
+    # archive copy, so repeated invocations on the same run dir never
+    # destroy quoted evidence (advisor r4: sweeps quoted in RESULTS.md
+    # survived only in git history after later overwrites).
     out = os.path.join(args.run, "temperature_sweep.json")
     with open(out, "w") as f:
         json.dump(rows, f, indent=1)
-    print(f"wrote {out}", file=sys.stderr)
+    suffixed = os.path.join(
+        args.run,
+        f"temperature_sweep_{rows[0]['step']}_{args.num_samples}.json")
+    with open(suffixed, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {out} and {suffixed}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -7,7 +7,8 @@ import numpy as np
 from categoricalnf_tpu.networks.graph import RGCN
 from categoricalnf_tpu.tasks.graph_coloring import (GraphColoringTask,
                                                     coloring_validity,
-                                                    random_colorable_graph)
+                                                    random_colorable_graph,
+                                                    repair_coloring)
 
 
 def _tiny_task(**kw):
@@ -60,6 +61,32 @@ def test_coloring_task_loss_eval_sample(rng):
     m = task.sample_metrics(params, rng, num_samples=16)
     assert 0.0 <= m["coloring_validity"] <= 1.0
     assert m["metric_num_samples"] == 16.0
+    # corrected column exists and can only improve on raw
+    assert m["coloring_validity_corrected"] >= m["coloring_validity"]
+    mk = task.sample_metrics(params, rng, num_samples=16, best_of_k=3)
+    assert mk["coloring_validity_at_k"] >= mk["coloring_validity"]
+    assert mk["best_of_k"] == 3.0
+
+
+def test_repair_coloring_greedy():
+    rng = np.random.default_rng(0)
+    B, N, K = 32, 12, 3
+    adj = np.zeros((B, N, N), np.float32)
+    colors = np.zeros((B, N), np.int64)
+    mask = np.zeros((B, N), np.float32)
+    for b in range(B):
+        k = int(rng.integers(6, N + 1))
+        a, _ = random_colorable_graph(rng, k)
+        adj[b, :k, :k] = a
+        mask[b, :k] = 1
+        colors[b, :k] = rng.integers(0, K, k)
+    probs = rng.random((B, N, K))
+    raw = coloring_validity(adj, colors, mask)
+    fixed = repair_coloring(adj, probs, colors, mask)
+    corr = coloring_validity(adj, fixed, mask)
+    assert corr.mean() >= raw.mean()
+    assert all(corr[raw]), "repair broke an already-valid coloring"
+    assert (fixed[mask == 0] == colors[mask == 0]).all(), "touched padding"
 
 
 def test_coloring_training_progress(rng):
