@@ -268,6 +268,15 @@ class Trainer:
         end_step = start_step
         prof_on = False
         step = start_step
+        # Automatic steps_per_call fallback (VERDICT r4 #9): the K-step
+        # scan holds K batches + scan-carried activations and can OOM at
+        # compile on big-activation configs that run fine single-step
+        # (lm_v6 K=4).  On a RESOURCE_EXHAUSTED from the FIRST multi-step
+        # call, degrade to running the K slices of each stacked batch as
+        # single steps — same data stream, same step count, logged loudly —
+        # instead of killing the campaign at compile time.
+        use_multi = self._multi_step is not None
+        first_multi = True
         while step < cfg.num_steps:
             if self._stop_requested:
                 break
@@ -275,8 +284,32 @@ class Trainer:
                 jax.profiler.start_trace(cfg.profile_dir)
                 prof_on = True
             if K > 1 and step + K <= cfg.num_steps:
-                state, metrics = self._multi_step(state, next(data_iter),
-                                                  rng)
+                stacked = next(data_iter)
+                if use_multi:
+                    if first_multi:
+                        # Donated inputs may be invalidated by a failed
+                        # dispatch; keep a host copy for exactly one call.
+                        state_backup = jax.device_get(state)
+                    try:
+                        state, metrics = self._multi_step(state, stacked,
+                                                          rng)
+                    except Exception as e:  # noqa: BLE001 — filtered below
+                        if (not first_multi
+                                or "RESOURCE_EXHAUSTED" not in str(e)):
+                            raise
+                        print(f"steps_per_call={K} scan OOM'd at compile; "
+                              "falling back to single-step execution "
+                              f"({type(e).__name__})", flush=True)
+                        use_multi = False
+                        state = jax.device_put(state_backup,
+                                               self._replicated)
+                    first_multi = False
+                if not use_multi:
+                    for j in range(K):
+                        state, metrics = self._train_step(
+                            state,
+                            jax.tree.map(lambda a, j=j: a[j], stacked),
+                            rng)
                 k = K
             else:
                 state, metrics = self._train_step(
