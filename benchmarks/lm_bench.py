@@ -69,8 +69,8 @@ def main():
     # trainer) so no runtime trick can skip or overlap executions, and take
     # wall clock over the chain.
     step = jax.jit(train_step, donate_argnums=(0,))
-    from bench import peak_flops, step_flops
-    flops = step_flops(step.lower(state, batch, rng).compile())
+    from bench import peak_flops, step_costs
+    flops, _ = step_costs(step.lower(state, batch, rng).compile())
     from categoricalnf_tpu.utils.timing import sync
     state, loss = step(state, batch, rng)
     sync(loss)
