@@ -22,11 +22,13 @@
 # only unpacks files; the Trainer's resume guard still refuses a changed
 # architecture.
 #
-# HISTORY-COST POLICY: every stash adds its full compressed size to git
-# history forever (no LFS here; window 3 grew .git to ~2.5 GB with three
-# bundles).  Stash a given run AT MOST once per window — at the end of
-# its last completed chunk — and only when the step delta since the
-# previous bundle buys >=1 h of next-window chip time.
+# HISTORY-COST POLICY (r5 revision): bundles live on per-run orphan
+# branches refs/heads/bundles/<run>, force-replaced per stash — replaced
+# commits become unreachable, so a clone/fetch transfers at most ONE
+# live bundle per run (the r1-r4 scheme committed every window's ~GB to
+# main permanently; those historical blobs remain but growth is stopped).
+# Still: stash a given run at most once per window, at the end of its
+# last completed chunk.
 set -euo pipefail
 cd "${CNF_REPO:-/root/repo}"   # override for sandboxed tests
 cmd=${1:?stash|restore}
@@ -52,18 +54,44 @@ case "$cmd" in
     mv "$bundle.tmp" "$bundle"
     du -h "$bundle"
     if [ -z "${CNF_BUNDLE_NO_GIT:-}" ]; then
-      git add "$bundle"
-      # Pathspec-scoped commit: campaign scripts stash while the tree is
-      # dirty, so an unscoped commit would sweep staged unrelated changes
-      # into the persist commit (ADVICE r3).
-      git commit -q -m \
-        "persist: $run resume bundle ($(basename "${last:-$best}"))" \
-        -- "$bundle" \
-        || echo "bundle unchanged"
+      # Orphan-branch storage (VERDICT r4 #8 / ADVICE r3): the bundle is
+      # the single file of a PARENTLESS commit on refs/heads/bundles/<run>,
+      # force-replaced per stash.  Replaced commits become unreachable (and
+      # a fresh clone transfers only the live tips), so git history growth
+      # per window is bounded at one bundle per run instead of every
+      # window's ~GB accumulating on main forever.  refs/heads/* (not a
+      # custom namespace) so plain `git clone` carries bundles to a fresh
+      # machine.
+      blob=$(git hash-object -w "$bundle")
+      ref="refs/heads/bundles/$run"
+      old=$(git rev-parse -q --verify "$ref:$bundle" 2>/dev/null || true)
+      if [ "$old" = "$blob" ]; then
+        echo "bundle unchanged"
+      else
+        subtree=$(printf '100644 blob %s\t%s\n' "$blob" \
+                  "$(basename "$bundle")" | git mktree)
+        tree=$(printf '040000 tree %s\t%s\n' "$subtree" "persist" \
+               | git mktree)
+        commit=$(git commit-tree "$tree" -m \
+          "bundle: $run $(basename "${last:-$best}")")
+        git update-ref "$ref" "$commit"
+        git reflog expire --expire=now --all -- "$ref" 2>/dev/null || true
+        echo "stored on $ref ($commit)"
+      fi
     fi
     ;;
   restore)
-    [ -f "$bundle" ] || { echo "no bundle for $run"; exit 0; }
+    if [ ! -f "$bundle" ]; then
+      # Working tree lost it (window reset + bundles no longer tracked on
+      # main) — materialize from the run's bundles branch if present.
+      if git cat-file -e "refs/heads/bundles/$run:$bundle" 2>/dev/null; then
+        mkdir -p persist
+        git cat-file blob "refs/heads/bundles/$run:$bundle" > "$bundle"
+        echo "materialized $bundle from refs/heads/bundles/$run"
+      else
+        echo "no bundle for $run"; exit 0
+      fi
+    fi
     if [ -n "$(newest_step "runs/$run/checkpoints_last")$(newest_step "runs/$run/checkpoints")" ]; then
       echo "$run already has checkpoints; not overwriting"; exit 0
     fi
