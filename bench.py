@@ -114,10 +114,12 @@ def main():
     remat = os.environ.get("CNF_BENCH_REMAT", "1") not in ("", "0")
     fused = os.environ.get("CNF_BENCH_FUSED", "") not in ("", "0")
     scan = os.environ.get("CNF_BENCH_SCAN", "1") not in ("", "0")
+    unroll = int(os.environ.get("CNF_BENCH_UNROLL", "1"))
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
                             num_mixtures=8, compute_dtype="bfloat16",
-                            remat=remat, fused=fused, scan_blocks=scan)
+                            remat=remat, fused=fused, scan_blocks=scan,
+                            unroll=unroll)
     rng = jax.random.PRNGKey(0)
     params = task.init_params(rng)
     tx = OptimizerConfig().build()
@@ -229,6 +231,7 @@ def main():
         "remat": remat,
         "fused": fused,
         "scan_blocks": scan,
+        "unroll": unroll,
     }
     # Bytes reporting is independent of FLOPs availability (ADVICE r3).
     # Methodology caveat: flops/bytes come from the SINGLE-step compile's

@@ -39,6 +39,12 @@ class ScannedBlocks(Transform):
     block: tuple[Transform, ...] = ()
     depth: int = 1
     remat: bool = False
+    # lax.scan unroll factor: >1 lets XLA fuse across block boundaries
+    # (fewer, larger fusions -> fewer HBM round-trips on the
+    # memory-bound step) at the cost of unroll x compile size.  A perf
+    # lever for the hbm_util attack (VERDICT r4 #4); semantics identical
+    # for any value.
+    unroll: int = 1
     has_data_init: bool = dataclasses.field(default=True, init=False,
                                             repr=False)
 
@@ -63,7 +69,8 @@ class ScannedBlocks(Transform):
 
         if self.remat:
             body = jax.checkpoint(body)
-        (z, ldj), _ = jax.lax.scan(body, (z, ldj), params)
+        (z, ldj), _ = jax.lax.scan(body, (z, ldj), params,
+                                   unroll=self.unroll)
         return z, ldj
 
     def inverse(self, params, z, ldj, *, cond=None, mask=None, rng=None):
@@ -76,7 +83,8 @@ class ScannedBlocks(Transform):
 
         if self.remat:
             body = jax.checkpoint(body)
-        (z, ldj), _ = jax.lax.scan(body, (z, ldj), params, reverse=True)
+        (z, ldj), _ = jax.lax.scan(body, (z, ldj), params, reverse=True,
+                                   unroll=self.unroll)
         return z, ldj
 
     def data_init(self, params, z, *, cond=None, mask=None):

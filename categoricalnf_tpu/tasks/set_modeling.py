@@ -33,7 +33,8 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
                    compute_dtype: str = "float32",
                    scan_blocks: bool = True,
                    remat: bool = False,
-                   fused: bool = False) -> flows.FlowModel:
+                   fused: bool = False,
+                   unroll: int = 1) -> flows.FlowModel:
     """Coupling stack with permutation-equivariant transformer nets.
 
     With ``scan_blocks`` the repeated two-parity block runs under
@@ -55,7 +56,7 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
         block = sub(0) + sub(1)
         return flows.FlowModel(
             layers=(flows.ScannedBlocks(block=block, depth=num_layers // 2,
-                                        remat=remat),),
+                                        remat=remat, unroll=unroll),),
             prior=flows.LogisticPrior())
     layers = []
     for i in range(num_layers):
@@ -108,6 +109,9 @@ class SetShufflingTask(TaskTemplate):
     # (N x compile work, but scan carries/saved-state layout differs —
     # exposed for the perf probes).
     scan_blocks: bool = True
+    # lax.scan unroll factor for the scanned stack (hbm_util lever:
+    # cross-block fusion; CNF_BENCH_UNROLL).
+    unroll: int = 1
     name: str = "set_shuffling"
 
     def __post_init__(self):
@@ -121,7 +125,8 @@ class SetShufflingTask(TaskTemplate):
                                 num_mixtures=self.num_mixtures,
                                 compute_dtype=self.compute_dtype,
                                 remat=self.remat, fused=self.fused,
-                                scan_blocks=self.scan_blocks))
+                                scan_blocks=self.scan_blocks,
+                                unroll=self.unroll))
 
     def _gen(self, rng: np.random.Generator, n: int) -> np.ndarray:
         out = native_loader.gen_permutations(

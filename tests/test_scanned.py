@@ -40,6 +40,27 @@ def test_scanned_matches_unrolled(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_unroll_matches_unroll1(rng):
+    """unroll>1 is a pure XLA scheduling lever: results (fwd, inverse,
+    ldj) must be bit-comparable to unroll=1."""
+    block = _block()
+    s1 = flows.ScannedBlocks(block=block, depth=4, unroll=1)
+    s2 = flows.ScannedBlocks(block=block, depth=4, unroll=2)
+    params = s1.init(rng, D)
+    z = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, D))
+    ldj0 = jnp.zeros(B, jnp.float32)
+    za, la = jax.jit(s1.forward)(params, z, ldj0)
+    zb, lb = jax.jit(s2.forward)(params, z, ldj0)
+    np.testing.assert_allclose(np.asarray(za), np.asarray(zb), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
+                               atol=1e-6)
+    zia, _ = jax.jit(s1.inverse)(params, za, la)
+    zib, _ = jax.jit(s2.inverse)(params, zb, lb)
+    np.testing.assert_allclose(np.asarray(zia), np.asarray(zib), rtol=1e-6,
+                               atol=1e-6)
+
+
 def test_scanned_roundtrip(rng):
     scanned = flows.ScannedBlocks(block=_block(), depth=2)
     params = scanned.init(rng, D)
