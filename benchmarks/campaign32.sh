@@ -44,4 +44,7 @@ for U in 2 4; do
   maybe_stop
   run "bench_unroll$U" 1800 env CNF_BENCH_UNROLL=$U python bench.py
 done
+maybe_stop
+run profile_step 2400 python benchmarks/profile_step.py \
+  --out /tmp/campaign32/trace
 echo "campaign32 complete $(date -u +%H:%M:%S)"
