@@ -3,14 +3,12 @@
 # moses chunks; the campaign30 driver shell was stopped by PID, its last
 # moses chunk keeps running and stage 0 here waits for it).
 #
-# Judge's round-4 priority order (VERDICT.md "Next round"), arranged so
-# the cheap high-value rows land before the window can run out:
-#   0. wait out inherited moses chunk; finish moses -> 30k
-#   1. coloring corrected + validity@k rows (new decode-side code, ~25 min)
-#   2. moses n=10,240 eval + IS-128 fp32 (BASELINE row 8)
-#   3. molecules_v7 95k -> 130k, fine T grid, final n=10,240 (>=75% bar)
-#   4. kernel_bench honest re-measurement
-#   5. coloring IS-128 fp32 bounds (sacrificial if the window ends)
+# Judge's round-4 priority order (VERDICT.md "Next round"):
+#   1+2. moses -> 30k + n=10,240 eval + IS-128 fp32  (BASELINE row 8)
+#   1.   molecules_v7 95k -> 130k, fine T grid, final n=10,240 (>=75% bar)
+#   7.   IS-128 fp32 posthoc bounds for molecules/moses/coloring
+#   6.   coloring corrected decoding + validity@k rows (new code this round)
+#   3a.  kernel_bench honest re-measurement
 set -u
 cd /root/repo
 LOG=/tmp/campaign31
@@ -62,16 +60,6 @@ while [ "$(steps_done moses)" -lt 30000 ] && [ $i -lt 3 ]; do
   commit_run moses "moses r5 chunk c$i: metrics ($(steps_done moses) steps)"
 done
 
-# ---- coloring: corrected + validity@8 rows (new decode-side code; cheap,
-# lands the feature evidence early) ----------------------------------------
-maybe_stop
-run coloring3_corrected 2400 python experiments/sample_eval.py \
-  --run runs/coloring3 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
-commit_run coloring3 "coloring3: corrected + validity@8 eval @$(steps_done coloring3)"
-run coloring2_corrected 2400 python experiments/sample_eval.py \
-  --run runs/coloring2 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
-commit_run coloring2 "coloring2: corrected + validity@8 eval @$(steps_done coloring2)"
-
 # ---- moses: 10k eval + IS-128 fp32 ---------------------------------------
 maybe_stop
 run moses_eval10k 4500 python experiments/sample_eval.py --run runs/moses \
@@ -82,8 +70,8 @@ run moses_is128 2700 python experiments/eval_bpd.py --run runs/moses \
 commit_run moses "moses: IS-128 fp32 test bound @$(steps_done moses)"
 bash benchmarks/ckpt_bundle.sh stash moses 2>/dev/null || true
 
-# ---- molecules_v7: 95k -> 130k (single long chunk; the arch matches moses
-# so the compile cache is warm) --------------------------------------------
+# ---- molecules_v7: 95k -> 130k (single long chunk; resumes pay ~10-40 min
+# of compile, so one chunk beats three) ------------------------------------
 maybe_stop
 MOL_ARGS=(python experiments/molecule_generation/train.py
   --dataset zinclike250k --data_dir data --max_nodes 24 --grad_clip 15
@@ -94,7 +82,6 @@ MOL_ARGS=(python experiments/molecule_generation/train.py
   --out_dir runs/molecules_v7 --log_every 1000 --resume)
 run mol_v7_r5 9600 "${MOL_ARGS[@]}"
 commit_run molecules_v7 "molecules_v7 r5: metrics ($(steps_done molecules_v7) steps)"
-bash benchmarks/ckpt_bundle.sh stash molecules_v7 2>/dev/null || true
 
 # ---- molecules_v7: fine T grid (n=1024, minutes/arm), then final 10k -----
 maybe_stop
@@ -110,15 +97,18 @@ commit_run molecules_v7 "molecules_v7: FINAL 10k-sample eval @$(steps_done molec
 run mol_v7_is128 2700 python experiments/eval_bpd.py --run runs/molecules_v7 \
   --split test --num_samples 128 --compute_dtype float32
 commit_run molecules_v7 "molecules_v7: IS-128 fp32 test bound @$(steps_done molecules_v7)"
+bash benchmarks/ckpt_bundle.sh stash molecules_v7 2>/dev/null || true
 
-# ---- honest kernel re-measurement ----------------------------------------
+# ---- coloring: corrected + validity@8 rows (new decode-side code) --------
 maybe_stop
-echo "=== kernel_bench start $(date -u +%H:%M:%S) ==="
-timeout -k 120 2400 python benchmarks/kernel_bench.py > "$LOG/kernel_bench.log" 2>&1
-echo "=== kernel_bench done (exit $?) ==="
-tail -12 "$LOG/kernel_bench.log"
+run coloring3_corrected 2400 python experiments/sample_eval.py \
+  --run runs/coloring3 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
+commit_run coloring3 "coloring3: corrected + validity@8 eval @$(steps_done coloring3)"
+run coloring2_corrected 2400 python experiments/sample_eval.py \
+  --run runs/coloring2 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
+commit_run coloring2 "coloring2: corrected + validity@8 eval @$(steps_done coloring2)"
 
-# ---- coloring IS-128 fp32 bounds (same discipline as LM; sacrificial) ----
+# ---- coloring IS-128 fp32 bounds (same discipline as LM) -----------------
 maybe_stop
 run coloring3_is128 2400 python experiments/eval_bpd.py --run runs/coloring3 \
   --split test --num_samples 128 --compute_dtype float32
@@ -126,5 +116,12 @@ commit_run coloring3 "coloring3: IS-128 fp32 test bound"
 run coloring2_is128 2400 python experiments/eval_bpd.py --run runs/coloring2 \
   --split test --num_samples 128 --compute_dtype float32
 commit_run coloring2 "coloring2: IS-128 fp32 test bound"
+
+# ---- honest kernel re-measurement ----------------------------------------
+maybe_stop
+echo "=== kernel_bench start $(date -u +%H:%M:%S) ==="
+timeout -k 120 2400 python benchmarks/kernel_bench.py > "$LOG/kernel_bench.log" 2>&1
+echo "=== kernel_bench done (exit $?) ==="
+tail -12 "$LOG/kernel_bench.log"
 
 echo "campaign31 complete $(date -u +%H:%M:%S)"
