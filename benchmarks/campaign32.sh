@@ -36,6 +36,10 @@ run sampling_bench 3600 python benchmarks/sampling_bench.py \
 maybe_stop
 run lm_bench 3000 python benchmarks/lm_bench.py
 maybe_stop
+# KV-cache sampling path (causal transformer backbone) — the VERDICT r4
+# #4 "LM sampling tokens/s via the KV-cache path" row
+run lm_bench_kv 3000 python benchmarks/lm_bench.py --net transformer
+maybe_stop
 for B in 1024 1536 2048 3072; do
   maybe_stop
   run "bench_B$B" 1800 env CNF_BENCH_BATCH=$B python bench.py
