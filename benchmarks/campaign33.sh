@@ -72,6 +72,17 @@ run moses_is128_b 2700 python experiments/eval_bpd.py --run runs/moses \
 commit_run moses "moses: IS-128 fp32 test bound @$(steps_done moses)"
 bash benchmarks/ckpt_bundle.sh stash moses 2>/dev/null || true
 
+# ---- coloring corrected re-eval with the multi-sweep repair --------------
+# (the campaign31 rows used the single greedy pass: corrected 74.6-77.4%;
+# the min-conflicts sweeps landed after — re-measure both runs)
+maybe_stop
+run coloring3_corrected_v2 2400 python experiments/sample_eval.py \
+  --run runs/coloring3 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
+commit_run coloring3 "coloring3: multi-sweep corrected re-eval"
+run coloring2_corrected_v2 2400 python experiments/sample_eval.py \
+  --run runs/coloring2 --temperatures 1.0,0.85 --num_samples 1024 --best_of_k 8
+commit_run coloring2 "coloring2: multi-sweep corrected re-eval"
+
 # ---- lm_v6 45k -> 60k + IS-128 -------------------------------------------
 LM_FLAGS=(python experiments/language_modeling/train.py
   --corpus synthetic --num_steps 60000 --eval_every 3000 --eval_samples 8
