@@ -31,6 +31,11 @@ fi
 echo "campaign31 drained; perf stages start $(date -u +%H:%M:%S)"
 
 maybe_stop
+# kernel_bench crashed at campaign31's tail on a missing sys.path header
+# (it had only ever run under an explicit PYTHONPATH); re-run it first —
+# the honest Pallas-vs-XLA numbers are the top perf deliverable.
+run kernel_bench 2400 python benchmarks/kernel_bench.py
+maybe_stop
 run sampling_bench 3600 python benchmarks/sampling_bench.py \
   --iters 8 --json "$LOG/sampling_bench.jsonl"
 maybe_stop

@@ -6,7 +6,12 @@ measure, don't assume.'  This is the measurement.
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
 import jax.numpy as jnp
