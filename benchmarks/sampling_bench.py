@@ -46,10 +46,12 @@ from categoricalnf_tpu.utils.timing import sync  # noqa: E402
 
 
 def timed(fn, iters, warmup=2):
-    """Mean seconds/call; fn(i) must vary its args with i."""
+    """Mean seconds/call; fn(i) must vary its args with i.  Warmup uses
+    large positive indices: fold_in requires a non-negative (uint32)
+    index, so negative warmup markers crash."""
     out = None
     for i in range(warmup):
-        out = fn(-1 - i)
+        out = fn(1_000_000 + i)
     sync(out)
     t0 = time.perf_counter()
     for i in range(iters):
