@@ -52,7 +52,8 @@ def coloring_validity(adj: np.ndarray, colors: np.ndarray,
 
 
 def repair_coloring(adj: np.ndarray, probs: np.ndarray, colors: np.ndarray,
-                    mask: np.ndarray, max_sweeps: int = 20) -> np.ndarray:
+                    mask: np.ndarray, max_sweeps: int = 50,
+                    seed: int = 0) -> np.ndarray:
     """Constraint-aware repair of sampled colorings.
 
     The coloring analog of the molecule task's valency correction
@@ -64,15 +65,20 @@ def repair_coloring(adj: np.ndarray, probs: np.ndarray, colors: np.ndarray,
        already-visited neighbor moves to its highest-posterior color not
        used by those neighbors (measured alone: ~+9-12 pts, capped
        around 75-77% — with 3 colors the free set is often empty).
-    2. Min-conflicts sweeps: repeatedly revisit conflicted nodes and move
-       each to the color minimizing its current conflict count (posterior
-       breaks ties), up to ``max_sweeps`` full sweeps.  Local search from
-       a model sample — the planted graphs are 3-colorable by
-       construction, so most residual conflicts are locally escapable.
+    2. Min-conflicts sweeps with stochastic escape (WalkSAT-style):
+       repeatedly revisit conflicted nodes and move each to the color
+       minimizing its current conflict count (posterior breaks ties);
+       when a sweep stalls with conflicts remaining, one random
+       conflicted node is re-randomized (seeded rng — deterministic per
+       call) before continuing, up to ``max_sweeps`` total sweeps.
+       Local search from a model sample — the planted graphs are
+       3-colorable by construction, so residual conflicts are almost
+       always escapable.
 
     The result is honest: sweeps are bounded and a stuck sample keeps its
     conflicts; validity is re-measured on the output, never assumed.
     """
+    esc_rng = np.random.default_rng(seed)
     out = colors.copy()
     B, N = colors.shape
     K = probs.shape[-1]
@@ -92,10 +98,10 @@ def repair_coloring(adj: np.ndarray, probs: np.ndarray, colors: np.ndarray,
                     if int(c) not in used:
                         out[b, i] = c
                         break
-        # phase 2: min-conflicts sweeps over all conflicted nodes
+        # phase 2: min-conflicts sweeps with stochastic escape
         for _ in range(max_sweeps):
             changed = False
-            clean = True
+            conflicted = []
             for i in range(N):
                 if not live[i]:
                     continue
@@ -103,18 +109,24 @@ def repair_coloring(adj: np.ndarray, probs: np.ndarray, colors: np.ndarray,
                 if not nb.any():
                     continue
                 nb_colors = out[b, nb]
-                if (nb_colors == out[b, i]).sum() == 0:
+                cur = (nb_colors == out[b, i]).sum()
+                if cur == 0:
                     continue
-                clean = False
+                conflicted.append(i)
                 # conflicts per candidate color; posterior breaks ties
                 conf = np.array([(nb_colors == c).sum() for c in range(K)])
                 best = min(range(K),
                            key=lambda c: (conf[c], -probs[b, i, c]))
-                if conf[best] < (nb_colors == out[b, i]).sum():
+                if conf[best] < cur:
                     out[b, i] = best
                     changed = True
-            if clean or not changed:
+            if not conflicted:
                 break
+            if not changed:
+                # stalled local minimum: re-randomize one conflicted node
+                i = conflicted[int(esc_rng.integers(len(conflicted)))]
+                out[b, i] = (out[b, i] + 1
+                             + int(esc_rng.integers(K - 1))) % K
     return out
 
 
