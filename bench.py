@@ -240,6 +240,13 @@ def main():
     # boundary).  Kept single-step so the figure is comparable across
     # rounds (BENCH_r02 onward).
     out["cost_methodology"] = "single-step compile; timed loop is K-scan"
+    # With scan unroll > 1 XLA's cost analysis counts the UNROLLED body
+    # once (bytes scale ~linearly with the unroll factor while measured
+    # wall time is flat; at unroll=4 the naive ratio exceeds 1.0 physical
+    # bandwidth — round-5 sweep), so bytes/hbm_util are meaningless there
+    # and are omitted, exactly like the fused-kernel case.
+    if unroll > 1:
+        step_bytes = None
     if step_bytes:
         out["bytes_per_step"] = round(step_bytes, 0)
         hbm = peak_hbm(dev)

@@ -16,7 +16,12 @@ through the tunnel produces numbers above the roofline.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
 
 import jax
 import jax.numpy as jnp
