@@ -102,3 +102,13 @@ commit_run lm_v6 "lm_v6: IS-128 fp32 test bound @$(steps_done lm_v6)"
 bash benchmarks/ckpt_bundle.sh stash lm_v6 2>/dev/null || true
 
 echo "campaign33 complete $(date -u +%H:%M:%S)"
+
+# ---- perf frontier probes (appended in-window, round 5) ------------------
+# The unroll/profile sweep reclassified the train step as fusion-overhead
+# bound. scan_blocks=0 removes the flow scan entirely (XLA sees all 8
+# layers flat -> global fusion freedom; compile cost ~8x, runtime theory
+# says fewer HBM round-trips). K=16 was the profile_step best.
+run bench_noscan 2700 env CNF_BENCH_SCAN=0 python bench.py
+run bench_K16 1800 env CNF_BENCH_K=16 python bench.py
+run bench_noscan_K16 2700 env CNF_BENCH_SCAN=0 CNF_BENCH_K=16 python bench.py
+echo "campaign33 probes complete $(date -u +%H:%M:%S)"
