@@ -113,13 +113,19 @@ def main():
     # and exposed as a product config (--remat on the experiment CLI).
     remat = os.environ.get("CNF_BENCH_REMAT", "1") not in ("", "0")
     fused = os.environ.get("CNF_BENCH_FUSED", "") not in ("", "0")
-    scan = os.environ.get("CNF_BENCH_SCAN", "1") not in ("", "0")
+    # "auto" (default) = the product's auto policy: unrolled at <=8
+    # layers (+37% measured round 5), scanned above.  "0"/"1" force.
+    _scan_env = os.environ.get("CNF_BENCH_SCAN", "auto")
+    scan = None if _scan_env == "auto" else _scan_env not in ("", "0")
     unroll = int(os.environ.get("CNF_BENCH_UNROLL", "1"))
     task = SetShufflingTask(set_size=16, batch_size=batch_size,
                             encoding_dim=4, num_layers=8, hidden_dim=96,
                             num_mixtures=8, compute_dtype="bfloat16",
                             remat=remat, fused=fused, scan_blocks=scan,
                             unroll=unroll)
+    from categoricalnf_tpu import flows as _flows
+    scan_resolved = any(isinstance(l, _flows.ScannedBlocks)
+                        for l in task.model.flow.layers)
     rng = jax.random.PRNGKey(0)
     params = task.init_params(rng)
     tx = OptimizerConfig().build()
@@ -230,7 +236,7 @@ def main():
         "batch_size": batch_size,
         "remat": remat,
         "fused": fused,
-        "scan_blocks": scan,
+        "scan_blocks": scan_resolved,
         "unroll": unroll,
     }
     # Bytes reporting is independent of FLOPs availability (ADVICE r3).
@@ -240,12 +246,13 @@ def main():
     # boundary).  Kept single-step so the figure is comparable across
     # rounds (BENCH_r02 onward).
     out["cost_methodology"] = "single-step compile; timed loop is K-scan"
-    # With scan unroll > 1 XLA's cost analysis counts the UNROLLED body
-    # once (bytes scale ~linearly with the unroll factor while measured
-    # wall time is flat; at unroll=4 the naive ratio exceeds 1.0 physical
-    # bandwidth — round-5 sweep), so bytes/hbm_util are meaningless there
-    # and are omitted, exactly like the fused-kernel case.
-    if unroll > 1:
+    # Cost-analysis bytes are only physically meaningful for the scanned
+    # unroll=1 program (the historical BENCH series).  Under scan
+    # unroll>1 the unrolled body is counted once (ratio 1.81 at
+    # unroll=4), and for the fully-unrolled flow the naive ratio reads
+    # 2.25 — both above 1.0 physical bandwidth (round-5 sweep), so the
+    # metric is omitted in those configs, exactly like the fused case.
+    if unroll > 1 or not scan_resolved:
         step_bytes = None
     if step_bytes:
         out["bytes_per_step"] = round(step_bytes, 0)

@@ -31,7 +31,7 @@ from categoricalnf_tpu.training.task import TaskTemplate
 def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
                    num_heads: int = 4, num_mixtures: int = 8,
                    compute_dtype: str = "float32",
-                   scan_blocks: bool = True,
+                   scan_blocks: bool | None = None,
                    remat: bool = False,
                    fused: bool = False,
                    unroll: int = 1) -> flows.FlowModel:
@@ -39,8 +39,18 @@ def build_set_flow(dim: int, num_layers: int = 8, hidden_dim: int = 96,
 
     With ``scan_blocks`` the repeated two-parity block runs under
     ``lax.scan`` (flows.ScannedBlocks) — ~N× less compile work, identical
-    semantics.
+    semantics.  ``scan_blocks=None`` resolves automatically: unrolled for
+    stacks of ≤8 layers, scanned above.  Measured round 5 (idle v5e,
+    forced sync, B=1024): the unrolled 8-layer flagship runs **64.8k
+    samples/s vs 47.4k** for scan+remat (+37%) — removing the scan lets
+    XLA fuse across layer boundaries, confirming the step is
+    fusion-overhead-bound (PERFORMANCE.md round-5 sweep).  The scan stays
+    the right call for deep/graph stacks where compile time and remat
+    (activation memory) dominate; note remat is a ScannedBlocks property,
+    so an unrolled stack stores activations.
     """
+    if scan_blocks is None:
+        scan_blocks = num_layers > 8
     net = networks.SetTransformer(hidden_dim=hidden_dim, num_heads=num_heads,
                                   num_layers=2, compute_dtype=compute_dtype,
                                   fused=fused)
@@ -105,10 +115,10 @@ class SetShufflingTask(TaskTemplate):
     # kernel (ops/pallas/fused_transformer.py) — one HBM read + write per
     # net instead of ~20 intermediate round-trips.
     fused: bool = False
-    # scan_blocks=False unrolls the coupling stack instead of lax.scan
-    # (N x compile work, but scan carries/saved-state layout differs —
-    # exposed for the perf probes).
-    scan_blocks: bool = True
+    # scan_blocks: True = lax.scan stack, False = unrolled, None = auto
+    # (unrolled at <=8 layers — +37% measured on the flagship, see
+    # build_set_flow docstring; scanned above for compile time/remat).
+    scan_blocks: bool | None = None
     # lax.scan unroll factor for the scanned stack (hbm_util lever:
     # cross-block fusion; CNF_BENCH_UNROLL).
     unroll: int = 1
